@@ -1,0 +1,73 @@
+"""High-level library API: texture synthesis, style transfer, texture mixing,
+and color transfer in one call each.
+
+These wrap :class:`optimaltextures_tpu.core.Synthesizer` with host-side image
+loading/saving, mirroring the four CLI modes of the reference
+(``/root/reference/README.md:16-44``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import core
+from .config import OptexConfig
+from .utils import imageio
+
+
+def run_files(cfg: OptexConfig, verbose: bool = False
+              ) -> Tuple[np.ndarray, float, List[str]]:
+    """Load images per cfg, run, save PNG(s). Returns (output array NHWC,
+    seconds, written paths)."""
+    cfg = cfg.validate()
+    styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
+    if len(styles) > 1 and styles[0].shape != styles[1].shape:
+        raise ValueError("Style images must have the same shape")
+    content = imageio.maybe_load_content(cfg.content, cfg.size)
+    out, seconds = core.synthesize(cfg, styles, content, verbose=verbose)
+    out_np = np.asarray(out)
+    paths = imageio.save_images(out_np, cfg)
+    return out_np, seconds, paths
+
+
+def synthesize_texture(style: str, size: int = 512, **overrides) -> np.ndarray:
+    """Texture synthesis from noise matched to one style exemplar."""
+    cfg = OptexConfig(style=[style], size=size, **overrides)
+    out, _, _ = run_files(cfg)
+    return out
+
+
+def transfer_style(style: str, content: str, size: int = 512,
+                   content_strength: float = 0.2, **overrides) -> np.ndarray:
+    """Style transfer: synthesis pulled toward a content image's structure."""
+    cfg = OptexConfig(style=[style], content=content, size=size,
+                      content_strength=content_strength, **overrides)
+    out, _, _ = run_files(cfg)
+    return out
+
+
+def mix_textures(style_a: str, style_b: str, alpha: float = 0.5,
+                 size: int = 512, **overrides) -> np.ndarray:
+    """Texture mixing of two styles with a random spatial mask."""
+    cfg = OptexConfig(style=[style_a, style_b], mixing_alpha=alpha, size=size,
+                      **overrides)
+    out, _, _ = run_files(cfg)
+    return out
+
+
+def transfer_color(style: str, content: str, mode: str = "opt",
+                   size: int = 512, **overrides) -> np.ndarray:
+    """Style transfer that keeps the content image's colors (lum | opt)."""
+    cfg = OptexConfig(style=[style], content=content, color_transfer=mode,
+                      size=size, **overrides)
+    out, _, _ = run_files(cfg)
+    return out
+
+
+def config_from_args(args) -> OptexConfig:
+    """Build a config from an argparse Namespace with matching field names."""
+    fields = {f.name for f in dataclasses.fields(OptexConfig)}
+    return OptexConfig(**{k: v for k, v in vars(args).items() if k in fields})

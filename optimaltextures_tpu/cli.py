@@ -1,0 +1,111 @@
+"""CLI mirroring the reference's flag surface (``/root/reference/optex.py:
+222-244``), with TPU-appropriate replacements for the torch perf toggles:
+
+* ``--no_tf32 / --cudnn_benchmark / --script / --compile / --memory_format``
+  have no TPU meaning; jit is always on. ``--conv_dtype bfloat16`` is the
+  TPU analogue of tf32 (fast matmul units), and ``--cache_dir`` enables the
+  persistent XLA compilation cache (the analogue of cudnn_benchmark's
+  autotune persistence).
+* ``--device`` (dead in the reference — parsed then ignored, optex.py:251)
+  here honestly selects a jax platform.
+* ``--seed`` controls EVERYTHING including rotations (the reference's scipy
+  rotations ignored its seed).
+
+Run: python -m optimaltextures_tpu.cli --style style/graffiti.jpg --size 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="optex-tpu",
+        description="TPU-native texture synthesis & style transfer via sliced "
+                    "optimal transport")
+    p.add_argument("-s", "--style", type=str, nargs="+",
+                   default=["style/graffiti.jpg"],
+                   help="1 or 2 style exemplar images (2 = texture mixing)")
+    p.add_argument("-c", "--content", type=str, default=None,
+                   help="content image for style transfer")
+    p.add_argument("--batch", type=int, default=1,
+                   help="number of noise pastiches to synthesize at once")
+    p.add_argument("--size", type=int, default=512, help="output size")
+    p.add_argument("--passes", type=int, default=5,
+                   help="loops over the VGG layer stack")
+    p.add_argument("--iters", type=int, default=500,
+                   help="total sliced-OT iteration budget")
+    p.add_argument("--hist_mode", type=str, default="chol",
+                   choices=["sym", "pca", "chol", "cdf"],
+                   help="histogram matching strategy")
+    p.add_argument("--color_transfer", type=str, default=None,
+                   choices=["lum", "opt"],
+                   help="keep the content image's colors")
+    p.add_argument("--content_strength", type=float, default=0.01)
+    p.add_argument("--style_scale", type=float, default=1.0,
+                   help="style detail scale relative to the output")
+    p.add_argument("--mixing_alpha", type=float, default=0.5,
+                   help="interpolation between 2 styles")
+    p.add_argument("--no_pca", action="store_true",
+                   help="disable PCA feature reduction (slower)")
+    p.add_argument("--no_multires", action="store_true",
+                   help="disable multi-scale rendering (slower)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="seeds every RNG, including rotations")
+    p.add_argument("--output_dir", type=str, default="output/")
+    # TPU-specific
+    p.add_argument("--depth", type=int, default=None,
+                   help="max VGG depth (default: deepest available weights)")
+    p.add_argument("--conv_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv stack compute dtype (bfloat16 = faster MXU)")
+    p.add_argument("--no_schedule_quirk", action="store_true",
+                   help="fix the reference's [l-1] schedule indexing quirk")
+    p.add_argument("--device", type=str, default=None,
+                   help="jax platform override (cpu|tpu|...)")
+    p.add_argument("--cache_dir", type=str,
+                   default=os.path.expanduser("~/.cache/optex_tpu_xla"),
+                   help="persistent XLA compilation cache ('' disables)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax profiler trace here")
+    p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--quiet", dest="verbose", action="store_false")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.device:
+        os.environ["JAX_PLATFORMS"] = args.device
+    import jax  # deferred so --device can take effect
+
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from . import api
+    cfg = api.config_from_args(args)
+    cfg.compat_schedule_quirk = not args.no_schedule_quirk
+
+    profiler_cm = None
+    if args.profile_dir:
+        profiler_cm = jax.profiler.trace(args.profile_dir)
+        profiler_cm.__enter__()
+    try:
+        _, seconds, paths = api.run_files(cfg, verbose=args.verbose)
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+
+    print("Took:", seconds)
+    for path in paths:
+        print("saved", path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

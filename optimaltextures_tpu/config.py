@@ -1,0 +1,65 @@
+"""Single dataclass config consumed by both the library API and the CLI.
+
+Mirrors the reference's CLI flag surface (``/root/reference/optex.py:222-244``)
+one-to-one, fixing its two config bugs: the class/CLI ``content_strength``
+default mismatch (0.1 vs 0.01 — the CLI default wins here) and the dead
+``--device`` flag (replaced by honest JAX device selection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class OptexConfig:
+    # --- algorithm -----------------------------------------------------------
+    size: int = 512                   # output size (first dim; second follows aspect)
+    passes: int = 5                   # loops over the VGG layer stack
+    iters: int = 500                  # total sliced-OT iteration budget
+    hist_mode: str = "chol"           # sym | pca | chol | cdf
+    color_transfer: Optional[str] = None   # None | lum | opt
+    content_strength: float = 0.01
+    style_scale: float = 1.0
+    mixing_alpha: float = 0.5
+    no_pca: bool = False
+    no_multires: bool = False
+    batch: int = 1                    # noise pastiches per run (ignored with content)
+    seed: Optional[int] = None
+
+    # --- fidelity / compat ---------------------------------------------------
+    # Replicate the reference's [l-1] iteration-schedule indexing quirk
+    # (optex.py:112; see SURVEY §3.1). False distributes iterations as the
+    # schedule table intends (monotone by depth).
+    compat_schedule_quirk: bool = True
+    # Max VGG depth to use. None = deepest available checkpoints (3 in this
+    # snapshot; 5 once the missing conv4/5 pairs are converted).
+    depth: Optional[int] = None
+
+    # --- performance ---------------------------------------------------------
+    # Compute dtype for the conv encode/decode stacks. The OT statistics
+    # (covariance, cholesky/eigh, CDFs) always run in float32.
+    conv_dtype: str = "float32"       # float32 | bfloat16
+    # Number of devices to shard the sample axis / batch over (1 = single chip).
+    num_devices: int = 1
+    # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
+    use_pallas: bool = True
+
+    # --- I/O -----------------------------------------------------------------
+    style: List[str] = dataclasses.field(default_factory=lambda: ["style/graffiti.jpg"])
+    content: Optional[str] = None
+    output_dir: str = "output/"
+
+    def validate(self) -> "OptexConfig":
+        if self.hist_mode not in ("sym", "pca", "chol", "cdf"):
+            raise ValueError(f"hist_mode must be sym|pca|chol|cdf, got {self.hist_mode!r}")
+        if self.color_transfer not in (None, "lum", "opt"):
+            raise ValueError(f"color_transfer must be lum|opt, got {self.color_transfer!r}")
+        if not 1 <= len(self.style) <= 2:
+            raise ValueError("between 1 and 2 style images required")
+        if self.passes < 1 or self.iters < 1 or self.size < 32 or self.batch < 1:
+            raise ValueError("passes/iters/size/batch out of range")
+        if self.conv_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
+        return self

@@ -1,0 +1,264 @@
+"""The pass/layer orchestration loop.
+
+Reference behavior: ``OptimalTexture.forward`` (``/root/reference/optex.py:
+81-139``) — multi-resolution passes over the VGG layer stack, each layer
+running a budgeted number of sliced-OT iterations, with optional PCA
+projection, content matching, two-style mixing, and a color-transfer tail.
+
+TPU design inversion
+--------------------
+The reference drives every OT iteration from python (host rotation sampling,
+~500 host<->device syncs per run). Here the schedule is STATIC (precomputed
+host-side), so each (pass, layer) becomes ONE jitted stage::
+
+    stage = decode(  unproject(  transport_loop_{n_iters}(  project(  encode(img)))))
+
+with the iteration loop a ``lax.fori_loop`` over folded PRNG keys — zero host
+round-trips inside a stage. Host work between stages is limited to: choosing
+the PCA rank k (a data-dependent shape decision XLA cannot make), and python
+orchestration. Stage programs are compiled once per (depth, shape, k,
+n_iters) and cached by jit; the persistent compilation cache makes repeat
+runs compile-free.
+
+The per-stage pastiche buffer is donated (``donate_argnums``) so XLA reuses
+the image buffer across stages instead of allocating fresh HBM.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import transport
+from .config import OptexConfig
+from .models import arch
+from .models.vgg import VGGBank, decode, encode
+from .ops import colors, histmatch
+from .ops.resize import resize_nearest_nhwc, resize_nhwc
+from .utils import schedule
+
+
+class LayerTargets(NamedTuple):
+    """Per-(pass, layer) transport targets prepared by encode_inputs."""
+    stats: transport.StyleStats            # style moments (+ samples for cdf)
+    eigvecs: Optional[jnp.ndarray]         # (C, k) PCA basis or None
+    content: Optional[jnp.ndarray]         # projected, re-centered content feats
+
+
+# ---------------------------------------------------------------------------
+# jitted building blocks (module-level so jit caches persist across passes)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _encode_jit(params, depth: int, img):
+    return encode(params, depth, img)
+
+
+@partial(jax.jit, static_argnames=("depth", "n_iters", "mode", "strength", "use_pca"),
+         donate_argnums=(2,))
+def _stage_jit(enc_params, dec_params, pastiche, stats, eigvecs, content_feat,
+               key, *, depth: int, n_iters: int, mode: str, strength: float,
+               use_pca: bool):
+    """One (pass, layer) stage: encode -> project -> OT loop -> unproject ->
+    decode, all in one XLA program."""
+    feat = encode(enc_params, depth, pastiche)
+    if use_pca:
+        feat = jnp.matmul(feat, eigvecs, precision=jax.lax.Precision.HIGHEST)
+    feat = transport.transport_loop(
+        key, feat, stats, n_iters, mode,
+        content_feature=content_feat, content_strength=strength)
+    if use_pca:
+        feat = jnp.matmul(feat, eigvecs.T, precision=jax.lax.Precision.HIGHEST)
+    return decode(dec_params, depth, feat)
+
+
+@partial(jax.jit, static_argnames=("mode", "alpha"))
+def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
+    """Blend two same-shape style feature maps with a binary spatial mask and
+    cross-histogram matching (optex.py:193-206)."""
+    atob = histmatch.hist_match(a, b, mode)
+    btoa = histmatch.hist_match(b, a, mode)
+    return (a * (1 - alpha) + atob * alpha) * mask + \
+           (btoa * (1 - alpha) + b * alpha) * (1 - mask)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def _pixel_ot_jit(pastiche, target, key, *, n_iters: int):
+    """Pixel-space sliced OT with cdf matching — the 'opt' color transfer
+    (optex.py:130-134): 3 iterations over 3x3 rotations."""
+    samples = target.reshape(-1, target.shape[-1])
+
+    def body(i, img):
+        return transport.ot_step_cdf(jax.random.fold_in(key, i), img, samples)
+
+    return jax.lax.fori_loop(0, n_iters, body, pastiche)
+
+
+_lum_target_jit = jax.jit(colors.swap_lightness)
+
+
+# ---------------------------------------------------------------------------
+
+
+class Synthesizer:
+    """Holds the VGG bank + static schedule and runs the full algorithm."""
+
+    def __init__(self, cfg: OptexConfig, bank: Optional[VGGBank] = None):
+        self.cfg = cfg.validate()
+        self.bank = bank or VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
+        self.depth = self.bank.max_depth
+        self.iters_table, self.sizes = schedule.iters_and_sizes(
+            cfg.size, cfg.iters, cfg.passes, not cfg.no_multires,
+            quirk=cfg.compat_schedule_quirk, num_layers=self.depth)
+        # layer-loop position l uses depth D-l (deepest first, optex.py:42-43)
+        self.layer_depths = [self.depth - l for l in range(self.depth)]
+        seed = cfg.seed if cfg.seed is not None else np.random.SeedSequence().entropy % (2 ** 63)
+        self.key = jax.random.key(int(seed))
+
+    # -- input preparation ----------------------------------------------------
+
+    def encode_inputs(self, pastiche, styles, content, size: int, pass_key):
+        """Per-pass target preparation (optex.py:45-79): resize inputs, encode
+        styles at every depth, fit PCA, project + re-center content."""
+        cfg = self.cfg
+        # resize gate replicated exactly: skip when EITHER dim already matches
+        if pastiche.shape[1] != size and pastiche.shape[2] != size:
+            style_tens = [
+                resize_nhwc(s, schedule.get_size(size, cfg.style_scale,
+                                                 s.shape[1], s.shape[2]))
+                for s in styles
+            ]
+            if content is not None:
+                cont_size = schedule.get_size(size, 1.0, content.shape[1],
+                                              content.shape[2], oversize=True)
+                cont = resize_nhwc(content, cont_size)
+            else:
+                cont_size = (size, size)
+                cont = None
+            pastiche = resize_nhwc(pastiche, cont_size)
+        else:
+            style_tens = styles
+            cont = content
+
+        need_samples = cfg.hist_mode == "cdf"
+        targets: List[LayerTargets] = []
+        raw_style_feats: List[jnp.ndarray] = []
+        eigvecs_list: List[Optional[jnp.ndarray]] = []
+        for l, d in enumerate(self.layer_depths):
+            enc = self.bank.enc_params[d]
+            sf = jnp.concatenate([_encode_jit(enc, d, s) for s in style_tens], axis=0)
+            sf = sf.astype(jnp.float32)
+
+            eigvecs = None
+            if not cfg.no_pca:
+                s_vals, v = transport.pca_spectrum(sf)
+                k = transport.choose_k(np.asarray(s_vals))  # host decision
+                eigvecs = v[:, :k]
+                sf = jnp.matmul(sf, eigvecs, precision=jax.lax.Precision.HIGHEST)
+            raw_style_feats.append(sf)
+            eigvecs_list.append(eigvecs)
+
+        # content re-centering uses the PRE-mix style means: the reference's
+        # encode_inputs computes them before mixing runs (optex.py:76 vs 97)
+        premix_means = [sf.mean() for sf in raw_style_feats]
+
+        # two-style mixing happens on the (projected) feature maps, once per
+        # pass, before moments are taken (optex.py:97-101)
+        if len(style_tens) > 1:
+            mask_pos = 1 if len(raw_style_feats) > 1 else 0
+            hw = raw_style_feats[mask_pos].shape[1:3]
+            u = jax.random.uniform(jax.random.fold_in(pass_key, 7919), hw)
+            mask = jnp.ceil(u - cfg.mixing_alpha)[None, :, :, None]
+            mixed = []
+            for sf in raw_style_feats:
+                m = resize_nearest_nhwc(mask, sf.shape[1:3])
+                mixed.append(_mix_pair_jit(sf[0:1], sf[1:2], m,
+                                           mode=cfg.hist_mode, alpha=cfg.mixing_alpha))
+            raw_style_feats = mixed
+
+        for l, d in enumerate(self.layer_depths):
+            sf = raw_style_feats[l]
+            eigvecs = eigvecs_list[l]
+            cf = None
+            if cont is not None:
+                cf = _encode_jit(self.bank.enc_params[d], d, cont).astype(jnp.float32)
+                if eigvecs is not None:
+                    cf = jnp.matmul(cf, eigvecs, precision=jax.lax.Precision.HIGHEST)
+                # center content features at the style features' scalar mean
+                cf = cf - cf.mean() + premix_means[l]
+            targets.append(LayerTargets(
+                stats=transport.style_stats(sf, need_samples),
+                eigvecs=eigvecs, content=cf))
+
+        return pastiche, targets
+
+    # -- main loop -------------------------------------------------------------
+
+    def run(self, pastiche, styles, content=None, verbose: bool = False):
+        """Full synthesis/transfer. Inputs are NHWC float32 jnp/np arrays."""
+        cfg = self.cfg
+        pastiche = jnp.asarray(pastiche)
+        styles = [jnp.asarray(s) for s in styles]
+        content = jnp.asarray(content) if content is not None else None
+
+        for p in range(cfg.passes):
+            if verbose:
+                print(f"Pass {p}, size {self.sizes[p]}", flush=True)
+            pass_key = jax.random.fold_in(self.key, p)
+            pastiche, targets = self.encode_inputs(
+                pastiche, styles, content, self.sizes[p], pass_key)
+
+            for l, d in enumerate(self.layer_depths):
+                if verbose:
+                    print(f"Layer: relu{d}_1", flush=True)
+                n_iters = self.iters_table[p][l]
+                tgt = targets[l]
+                # content matching only at the 3 deepest of the 5 layers
+                # (optex.py:115-117: l <= 2), with depth-dependent strength
+                # 1/16, 1/8, 1/4 of content_strength
+                has_content = tgt.content is not None and l <= 2
+                strength = cfg.content_strength / 2 ** (4 - l) if has_content else 0.0
+                pastiche = _stage_jit(
+                    self.bank.enc_params[d], self.bank.dec_params[d],
+                    pastiche.astype(self.bank.enc_params[d][0][0].dtype),
+                    tgt.stats, tgt.eigvecs,
+                    tgt.content if has_content else None,
+                    jax.random.fold_in(pass_key, l),
+                    depth=d, n_iters=int(n_iters), mode=cfg.hist_mode,
+                    strength=float(strength), use_pca=tgt.eigvecs is not None)
+                pastiche = pastiche.astype(jnp.float32)
+
+        if cfg.color_transfer is not None:
+            if content is None:
+                raise ValueError("Color transfer requires content image")
+            target = _lum_target_jit(content, pastiche)
+            if cfg.color_transfer == "opt":
+                pastiche = _pixel_ot_jit(pastiche, target,
+                                         jax.random.fold_in(self.key, 0xC0102), n_iters=3)
+            else:  # "lum"
+                pastiche = target
+
+        return pastiche
+
+
+def synthesize(cfg: OptexConfig, styles, content=None, pastiche=None,
+               verbose: bool = False):
+    """One-call API: build the synthesizer, make the noise pastiche, run.
+
+    Returns (output NHWC float32 jnp array, wall seconds).
+    """
+    synth = Synthesizer(cfg)
+    if pastiche is None:
+        shape = content.shape if content is not None else \
+            (cfg.batch, cfg.size, cfg.size, 3)
+        pastiche = jax.random.uniform(jax.random.fold_in(synth.key, 999), shape,
+                                      dtype=jnp.float32)
+    t0 = time.time()
+    out = synth.run(pastiche, styles, content, verbose=verbose)
+    out.block_until_ready()
+    return out, time.time() - t0

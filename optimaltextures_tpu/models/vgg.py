@@ -1,0 +1,77 @@
+"""Functional NHWC VGG-19 encoder / feature-inverter forward passes.
+
+Replaces the reference's torch Sequential stacks (``/root/reference/vgg.py``)
+with a pure function over a params pytree, driven by the spec tables in
+:mod:`optimaltextures_tpu.models.arch`. Both directions are NHWC end to end:
+images enter as (N, H, W, 3) float in [0, 1] and features come out
+(N, H/2^{d-1}, W/2^{d-1}, C_d) — the reference's post-hoc NCHW->NHWC permute
+(``vgg.py:152-153``) disappears because the layout is native here.
+
+``encode``/``decode`` are plain jittable functions; the caller decides the
+jit boundaries (the core loop fuses decode+encode into its per-layer stage).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.convops import conv2d_nhwc, maxpool_2x2_ceil, reflect_pad, upsample_nearest_2x
+from . import arch, weights
+
+
+def _run_stack(params, specs, x: jnp.ndarray) -> jnp.ndarray:
+    for (w, b), (_, _, k, pre, post) in zip(params, specs):
+        if pre == "pool":
+            x = maxpool_2x2_ceil(x)
+        elif pre == "up":
+            x = upsample_nearest_2x(x)
+        if k == 3:
+            x = reflect_pad(x, 1)
+        x = conv2d_nhwc(x, w, b)
+        if post == "relu":
+            x = jax.nn.relu(x)
+    return x
+
+
+def encode(params, depth: int, image: jnp.ndarray) -> jnp.ndarray:
+    """NHWC image -> relu{depth}_1 NHWC features."""
+    return _run_stack(params, arch.encoder_specs(depth), image)
+
+
+def decode(params, depth: int, feature: jnp.ndarray) -> jnp.ndarray:
+    """relu{depth}_1 NHWC features -> NHWC image (unclamped, like the
+    reference's final conv with no activation, ``vgg.py:130-134``)."""
+    return _run_stack(params, arch.decoder_specs(depth), feature)
+
+
+class VGGBank:
+    """Loads and holds encoder/decoder params for depths 1..max_depth.
+
+    Thin host-side container — the forward passes stay pure functions so jit
+    closures capture only array pytrees.
+    """
+
+    def __init__(self, max_depth: Optional[int] = None, directory: Optional[str] = None,
+                 dtype=jnp.float32):
+        avail = weights.available_depths(directory)
+        if not avail:
+            raise FileNotFoundError(
+                "no converted VGG weights; run `python -m tools.convert_weights`")
+        self.max_depth = max_depth or max(avail)
+        if self.max_depth not in avail:
+            raise ValueError(f"depth {self.max_depth} unavailable; have {avail}")
+        cast = lambda ps: [(jnp.asarray(w, dtype), jnp.asarray(b, dtype)) for w, b in ps]
+        self.enc_params = {d: cast(weights.load_encoder_params(d, directory))
+                           for d in range(1, self.max_depth + 1)}
+        self.dec_params = {d: cast(weights.load_decoder_params(d, directory))
+                           for d in range(1, self.max_depth + 1)}
+
+    def encode_fn(self, depth: int):
+        return partial(encode, self.enc_params[depth], depth)
+
+    def decode_fn(self, depth: int):
+        return partial(decode, self.dec_params[depth], depth)

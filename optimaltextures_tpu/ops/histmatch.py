@@ -1,0 +1,210 @@
+"""Histogram matching — the sliced-OT projection kernel.
+
+Four modes with reference semantics (``/root/reference/histmatch.py:5-92``):
+
+* ``chol`` / ``pca`` / ``sym``: first/second-moment matching through the
+  C x C channel covariance with a large ``eps=1`` ridge (features are
+  post-ReLU, large scale — the ridge is intentional). The reference permutes
+  NHWC -> (C, B, H, W) and works row-major; here everything stays (..., C)
+  sample-major so the big contractions are plain (N, C) GEMMs on the MXU, and
+  explicit ``torch.inverse`` calls become triangular solves / eigh-inverses.
+  Centering is per (batch-element, channel) but the covariance pools all
+  samples, exactly like the reference (histmatch.py:16-22).
+
+* ``cdf``: exact per-channel 1-D CDF matching with 256 shared-range bins,
+  replicating torch.histc binning and the reference's custom ``interp``
+  (searchsorted + slope + two-stage non-finite fallback, histmatch.py:72-92)
+  — implemented branchlessly and vmapped over channels instead of the
+  reference's per-channel python loop (histmatch.py:51).
+
+The moment modes additionally expose a *decomposed* form
+(:func:`moment_stats`, :func:`moment_transform`) used by the transport loop:
+matching in a rotated basis only needs the rotated covariance
+``R^T Cov R + eps I``, so the style's raw covariance is computed once per
+(pass, layer) and re-rotated per iteration — identical math, ~3x fewer
+sample-sized GEMMs than re-encoding the style every iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ----------------------------------------------------------------------------
+# Moment matching (chol / pca / sym)
+
+
+def moment_stats(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, channel) mean and pooled RAW channel covariance (no ridge).
+
+    x: (B, H, W, C) -> mu (B, 1, 1, C), cov (C, C) with
+    cov = sum_b sum_hw (x - mu_b)(x - mu_b)^T / (B*H*W).
+    """
+    b, h, w, c = x.shape
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    xc = (x - mu).reshape(-1, c)
+    cov = jnp.matmul(xc.T, xc, precision=HIGHEST) / xc.shape[0]
+    return mu, cov
+
+
+_NS_ITERS = 40
+
+
+def _psd_sqrt_and_inv(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric PSD square root AND its inverse by coupled Newton-Schulz.
+
+    The reference reaches the matrix square root through eigh
+    (histmatch.py:30-33); on TPU eigh is slow (sequential QR sweeps) and
+    jax's float32 eigh loses ~1e-2 of eigenvector accuracy even at tiny
+    condition numbers. The coupled Newton-Schulz iteration
+
+        Y_0 = A/a,  Z_0 = I,
+        T_k = (3 I - Z_k Y_k) / 2,  Y_{k+1} = Y_k T_k,  Z_{k+1} = T_k Z_k,
+        sqrt(A) = Y_inf * sqrt(a),  sqrt(A)^-1 = Z_inf / sqrt(a)
+
+    is pure MXU matmuls, converges quadratically once eigenvalues approach 1,
+    and yields BOTH factors at once (the modes need Q and Q^{-1}). The eps=1
+    ridge guarantees positive-definiteness; scaling by the Frobenius norm
+    bounds the normalized spectrum in (0, 1]. 40 iterations cover condition
+    numbers beyond 1e5 (worst case for post-ReLU VGG covariances).
+    """
+    c = cov.shape[0]
+    eye = jnp.eye(c, dtype=cov.dtype)
+    alpha = jnp.sqrt(jnp.sum(cov * cov))  # ||A||_F >= lambda_max
+    y = cov / alpha
+    z = eye
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (3.0 * eye - jnp.matmul(z, y, precision=HIGHEST))
+        return (jnp.matmul(y, t, precision=HIGHEST),
+                jnp.matmul(t, z, precision=HIGHEST))
+
+    y, z = jax.lax.fori_loop(0, _NS_ITERS, body, (y, z))
+    sa = jnp.sqrt(alpha)
+    return y * sa, z / sa
+
+
+def moment_transform(cov_t: jnp.ndarray, cov_s: jnp.ndarray, mode: str,
+                     eps: float = 1.0) -> jnp.ndarray:
+    """C x C matrix A such that matched = centered_target @ A^T + mu_source.
+
+    cov_t / cov_s are RAW covariances; the eps ridge is added here
+    (histmatch.py:18,22). A equals the reference's left-multiplied operator:
+    chol: L_s L_t^{-1} | pca: Q_s Q_t^{-1} | sym: Q_t^{-1} (Q_t C_s Q_t)^{1/2} Q_t^{-1}.
+    """
+    c = cov_t.shape[0]
+    eye = jnp.eye(c, dtype=cov_t.dtype)
+    ct = cov_t + eps * eye
+    cs = cov_s + eps * eye
+
+    if mode == "chol":
+        lt = jnp.linalg.cholesky(ct)
+        ls = jnp.linalg.cholesky(cs)
+        # L_s @ inv(L_t) without forming the inverse: solve X L_t = L_s.
+        a = jax.lax.linalg.triangular_solve(lt, ls, left_side=False, lower=True)
+    elif mode == "pca":
+        qt, qt_inv = _psd_sqrt_and_inv(ct)
+        qs, _ = _psd_sqrt_and_inv(cs)
+        a = jnp.matmul(qs, qt_inv, precision=HIGHEST)
+    elif mode == "sym":
+        qt, qt_inv = _psd_sqrt_and_inv(ct)
+        m = jnp.matmul(jnp.matmul(qt, cs, precision=HIGHEST), qt, precision=HIGHEST)
+        msqrt, _ = _psd_sqrt_and_inv(m)
+        a = jnp.matmul(jnp.matmul(qt_inv, msqrt, precision=HIGHEST), qt_inv,
+                       precision=HIGHEST)
+    else:
+        raise ValueError(f"unknown moment mode {mode!r}")
+    return a
+
+
+def moment_match(target: jnp.ndarray, source: jnp.ndarray, mode: str,
+                 eps: float = 1.0) -> jnp.ndarray:
+    """Full moment matching, NHWC -> NHWC."""
+    mu_t, cov_t = moment_stats(target)
+    mu_s, cov_s = moment_stats(source)
+    a = moment_transform(cov_t, cov_s, mode, eps)
+    b, h, w, c = target.shape
+    xc = (target - mu_t).reshape(-1, c)
+    matched = jnp.matmul(xc, a.T, precision=HIGHEST).reshape(b, h, w, c)
+    return matched + mu_s  # mu_s broadcasts over target batch (histmatch.py:44)
+
+
+# ----------------------------------------------------------------------------
+# CDF matching (exact 1-D OT on 256 shared-range bins)
+
+BINS = 256
+
+
+def interp_ref(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
+    """The reference's custom interp (histmatch.py:72-92), branchless.
+
+    idxs = first position with xp[idx] >= x (torch searchsorted right=False);
+    linear map on segment [idxs, idxs+1]; falls back to anchoring at
+    xp[idxs+1] and finally to fp[idxs] when non-finite (duplicate xp nodes).
+    """
+    n = xp.shape[0]
+    idxs = jnp.clip(jnp.searchsorted(xp, x, side="left"), 0, n - 1)
+    idxs_next = jnp.clip(idxs + 1, 0, n - 1)
+    xp_i, xp_n = xp[idxs], xp[idxs_next]
+    fp_i, fp_n = fp[idxs], fp[idxs_next]
+    slopes = (fp_n - fp_i) / (xp_n - xp_i)
+    f0 = slopes * (x - xp_i) + fp_i
+    f1 = slopes * (x - xp_n) + fp_n
+    f = jnp.where(jnp.isfinite(f0), f0, jnp.where(jnp.isfinite(f1), f1, fp_i))
+    return f
+
+
+def _histc(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """torch.histc semantics: bin = trunc((x-lo)*bins/(hi-lo)), top edge into
+    the last bin. All values lie in [lo, hi] by construction here."""
+    width = hi - lo
+    safe = jnp.where(width > 0, width, 1.0)
+    idx = ((x - lo) * bins / safe).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, bins - 1)
+    return jnp.zeros((bins,), jnp.float32).at[idx].add(1.0)
+
+
+def _cdf_match_channel(t: jnp.ndarray, s: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """One channel: shared-range histograms -> CDFs -> double remap."""
+    lo = jnp.minimum(t.min(), s.min())
+    hi = jnp.maximum(t.max(), s.max())
+
+    t_hist = _histc(t, lo, hi, bins)
+    s_hist = _histc(s, lo, hi, bins)
+    bin_edges = jnp.linspace(lo, hi, bins + 1)[1:]
+
+    t_cdf = jnp.cumsum(t_hist)
+    t_cdf = t_cdf / t_cdf[-1]
+    s_cdf = jnp.cumsum(s_hist)
+    s_cdf = s_cdf / s_cdf[-1]
+
+    remapped = interp_ref(t_cdf, s_cdf, bin_edges)
+    return interp_ref(t, bin_edges, remapped)
+
+
+def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS) -> jnp.ndarray:
+    """CDF matching, NHWC -> NHWC, vmapped across channels."""
+    bt, h, w, c = target.shape
+    t = target.reshape(-1, c).T  # (C, Nt)
+    s = source.reshape(-1, c).T  # (C, Ns)
+    matched = jax.vmap(partial(_cdf_match_channel, bins=bins))(t, s)
+    return matched.T.reshape(bt, h, w, c)
+
+
+# ----------------------------------------------------------------------------
+# Unified entry, reference signature
+
+
+def hist_match(target: jnp.ndarray, source: jnp.ndarray, mode: str = "chol",
+               eps: float = 1.0) -> jnp.ndarray:
+    """NHWC target matched to NHWC source's per-channel statistics."""
+    if mode == "cdf":
+        return cdf_match(target, source)
+    return moment_match(target, source, mode, eps)

@@ -1,0 +1,120 @@
+"""Sharded sliced optimal transport: exact multi-chip data parallelism.
+
+The reference is strictly single-device (SURVEY §2.2). The natural multi-chip
+axis of this workload is the SAMPLE axis of the OT statistics: a batch of
+pastiches (or the rows of one huge image) can be sharded across devices while
+keeping the reference's *joint* matching semantics, because everything the
+transport step needs from the sample cloud is:
+
+* per-(batch-element, channel) means — local to a batch shard, and
+* the pooled C x C covariance — an (all-)reduction of per-shard partial sums.
+
+So each device computes its local centered Gram matrix, a single ``psum``
+over ICI produces the exact global covariance, every device derives the same
+C x C transform (replicated tiny compute), and applies it to its local
+samples. Rotations use the same folded key on every device — identical by
+construction, no broadcast needed. Numerics match the single-device path to
+float tolerance, so this is "free" scaling: no algorithm drift.
+
+Convolution encode/decode under batch sharding is trivially parallel (XLA
+just partitions the batch dim); :func:`sharded_stage` jits the whole
+(encode -> OT loop -> decode) stage over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import transport
+from ..models.vgg import decode, encode
+from ..ops import histmatch
+from ..ops.rotation import random_rotation
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _local_moments(x: jnp.ndarray):
+    """Per-shard contributions: per-element means (local) and the centered
+    Gram partial sum + sample count (to be psum'd)."""
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    xc = (x - mu).reshape(-1, x.shape[-1])
+    gram = jnp.matmul(xc.T, xc, precision=HIGHEST)
+    return mu, xc, gram, xc.shape[0]
+
+
+def ot_step_moment_sharded(key, feature, style_mu, style_cov_raw, mode: str,
+                           axis: str, eps: float = 1.0):
+    """One sliced-OT step inside shard_map: feature is the LOCAL batch shard;
+    the covariance is psum'd so matching is joint across the global batch."""
+    c = feature.shape[-1]
+    rot = random_rotation(key, c)  # same key on all shards -> same rotation
+
+    mu_t, xc, gram, n_local = _local_moments(feature)
+    gram = jax.lax.psum(gram, axis)
+    n_total = n_local * jax.lax.psum(1, axis)
+    cov_t_raw = gram / n_total
+
+    cov_t_rot = rot.T @ (cov_t_raw @ rot)
+    cov_s_rot = rot.T @ (style_cov_raw @ rot)
+    a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+    m = rot @ (a.T @ rot.T)
+
+    b, h, w, _ = feature.shape
+    out = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c)
+    return out + style_mu
+
+
+def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
+                           mode: str, axis: str,
+                           content_feature: Optional[jnp.ndarray] = None,
+                           content_strength: float = 0.0):
+    def body(i, feat):
+        k = jax.random.fold_in(key, i)
+        feat = ot_step_moment_sharded(k, feat, style_mu, style_cov_raw, mode, axis)
+        if content_feature is not None:
+            feat = feat + content_strength * (content_feature - feat)
+        return feat
+
+    if n_iters == 0:
+        return feature
+    return jax.lax.fori_loop(0, n_iters, body, feature)
+
+
+def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
+                       strength: float = 0.0, use_pca: bool = False,
+                       axis: str = "data"):
+    """Build a jitted full stage (encode -> project -> sharded OT loop ->
+    unproject -> decode) over a batch-sharded pastiche.
+
+    Returns fn(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
+    eigvecs, content_feat, key) -> pastiche. All non-pastiche inputs are
+    replicated; pastiche (and content features) are sharded on batch.
+    """
+    shard = P(axis, None, None, None)
+    rep = P()
+
+    def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
+                    eigvecs, content_feat, key):
+        feat = encode(enc_params, depth, pastiche)
+        if use_pca:
+            feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
+        feat = sharded_transport_loop(key, feat, style_mu, style_cov_raw,
+                                      n_iters, mode, axis,
+                                      content_feature=content_feat,
+                                      content_strength=strength)
+        if use_pca:
+            feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
+        return decode(dec_params, depth, feat)
+
+    # content features are replicated (B=1 broadcasts against local shards)
+    fn = jax.shard_map(
+        stage_local, mesh=mesh,
+        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep),
+        out_specs=shard,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,170 @@
+"""Sliced optimal transport: the hot inner loop, plus PCA fitting.
+
+Reference semantics (``/root/reference/optex.py:167-190``): per iteration draw
+a random SO(C) rotation, rotate pastiche+style features, histogram-match each
+rotated coordinate, rotate back, optionally blend toward content features.
+
+TPU redesign
+------------
+* The whole per-layer iteration loop is ONE ``lax.fori_loop`` inside jit with
+  a folded PRNG key — zero host syncs where the reference has one per
+  iteration (scipy rotation on host).
+* For the moment modes (chol/pca/sym — chol is the default), the style's raw
+  covariance and mean are computed ONCE per (pass, layer) and re-expressed in
+  each iteration's rotated basis by a C x C congruence ``R^T Cov R``
+  (mathematically identical to re-rotating the style samples). Further, the
+  rotate -> center -> transform -> unrotate chain folds into a single C x C
+  operator ``M = R A^T R^T``, so each iteration costs just TWO sample-sized
+  GEMMs (pastiche covariance + apply) instead of the reference's six.
+* ``cdf`` mode needs per-coordinate order statistics of the rotated style, so
+  it runs the faithful rotate/match/unrotate data path.
+
+PCA (``fit_pca``, optex.py:180-190): singular values of the globally-centered
+sample matrix via eigh of the C x C Gram matrix (equivalent to torch.svd's
+spectrum at a fraction of the cost); keeps the first k components where the
+cumulative SINGULAR-VALUE (not variance — faithful to the reference) share
+exceeds 0.9.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import histmatch
+from .ops.rotation import random_rotation
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class StyleStats(NamedTuple):
+    """Per-(pass, layer) precomputed style statistics.
+
+    For moment modes only ``mu`` (1, 1, 1, C broadcastable) and ``cov_raw``
+    (C, C, ridge NOT included) are used; ``samples`` (Ns, C) is carried for
+    cdf mode (None otherwise to keep the jit closure lean).
+    """
+    mu: jnp.ndarray
+    cov_raw: jnp.ndarray
+    samples: Optional[jnp.ndarray]
+
+
+def style_stats(style_feature: jnp.ndarray, need_samples: bool) -> StyleStats:
+    """NHWC style features -> precomputed transport statistics."""
+    mu, cov = histmatch.moment_stats(style_feature)
+    samples = style_feature.reshape(-1, style_feature.shape[-1]) if need_samples else None
+    return StyleStats(mu=mu, cov_raw=cov, samples=samples)
+
+
+def ot_step_moment(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
+                   mode: str, eps: float = 1.0) -> jnp.ndarray:
+    """One sliced-OT iteration, moment-matching fast path. NHWC -> NHWC.
+
+    matched = (x - mu_t) @ (R A^T R^T) + mu_s, with A the C x C matching
+    operator computed in the rotated basis.
+    """
+    c = feature.shape[-1]
+    rot = random_rotation(key, c)
+
+    mu_t, cov_t_raw = histmatch.moment_stats(feature)
+    # covariances in the rotated basis (congruence instead of sample GEMMs)
+    cov_t_rot = jnp.matmul(rot.T, jnp.matmul(cov_t_raw, rot, precision=HIGHEST),
+                           precision=HIGHEST)
+    cov_s_rot = jnp.matmul(rot.T, jnp.matmul(stats.cov_raw, rot, precision=HIGHEST),
+                           precision=HIGHEST)
+    a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+    # rotate(center(x)) @ A^T then unrotate, folded into one C x C operator.
+    m = jnp.matmul(rot, jnp.matmul(a.T, rot.T, precision=HIGHEST), precision=HIGHEST)
+
+    b, h, w, _ = feature.shape
+    xc = (feature - mu_t).reshape(-1, c)
+    out = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c)
+    # mu_s was computed unrotated; rotating then unrotating it is the identity.
+    return out + stats.mu
+
+
+def ot_step_cdf(key: jax.Array, feature: jnp.ndarray, style_samples: jnp.ndarray
+                ) -> jnp.ndarray:
+    """One sliced-OT iteration, exact-CDF path (faithful data movement)."""
+    c = feature.shape[-1]
+    rot = random_rotation(key, c)
+    b, h, w, _ = feature.shape
+    rf = jnp.matmul(feature.reshape(-1, c), rot, precision=HIGHEST)
+    rs = jnp.matmul(style_samples, rot, precision=HIGHEST)
+    matched = histmatch.cdf_match(rf.reshape(b, h, w, c), rs.reshape(1, -1, 1, c))
+    return jnp.matmul(matched.reshape(-1, c), rot.T, precision=HIGHEST
+                      ).reshape(b, h, w, c)
+
+
+def ot_step_reference(key: jax.Array, feature: jnp.ndarray, style_feature: jnp.ndarray,
+                      mode: str, eps: float = 1.0) -> jnp.ndarray:
+    """Faithful rotate/match/unrotate on raw features (optex.py:167-177).
+
+    Used by tests to certify the fast moment path, and as the building block
+    for pixel-space color transfer.
+    """
+    c = feature.shape[-1]
+    rot = random_rotation(key, c)
+    rf = jnp.einsum("bhwc,cd->bhwd", feature, rot, precision=HIGHEST)
+    rs = jnp.einsum("bhwc,cd->bhwd", style_feature, rot, precision=HIGHEST)
+    matched = histmatch.hist_match(rf, rs, mode, eps)
+    return jnp.einsum("bhwd,cd->bhwc", matched, rot, precision=HIGHEST)
+
+
+def pca_spectrum(features: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Singular values (descending) and right singular vectors of the
+    globally-centered sample matrix, via eigh of the C x C Gram matrix.
+
+    Matches torch.svd's spectrum/V (optex.py:182-183: A = X - X.mean() with a
+    SCALAR mean) at O(N C^2) + O(C^3) instead of a full (N, C) SVD. Column
+    signs differ from torch — irrelevant, projection is inverted by transpose.
+    """
+    c = features.shape[-1]
+    x = features.reshape(-1, c) - features.mean()
+    g = jnp.matmul(x.T, x, precision=HIGHEST)
+    eva, eve = jnp.linalg.eigh(g)  # ascending
+    s = jnp.sqrt(jnp.maximum(eva[::-1], 0.0))
+    return s, eve[:, ::-1]
+
+
+def choose_k(singular_values) -> int:
+    """Host-side: the reference's component count (optex.py:184-185).
+
+    k = FIRST index where cumsum(s / sum(s)) > 0.9 — note this EXCLUDES the
+    crossing component (the reference slices ``eigvecs[:, :k]`` with the raw
+    index). Clamped to >= 1: the reference would produce an empty projection
+    if the first component alone carried >90% (and then crash); we keep one.
+    """
+    import numpy as np
+
+    s = np.asarray(singular_values, dtype=np.float64)
+    frac = np.cumsum(s / s.sum())
+    k = int(np.argmax(frac > 0.9))
+    return max(k, 1)
+
+
+def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
+                   n_iters: int, mode: str,
+                   content_feature: Optional[jnp.ndarray] = None,
+                   content_strength: float = 0.0,
+                   eps: float = 1.0) -> jnp.ndarray:
+    """n_iters sliced-OT steps (+ optional content pull) as one fori_loop.
+
+    The content step matches the reference exactly (optex.py:115-117):
+    feature += strength * (content_feature - feature) after each OT iter.
+    """
+    def body(i, feat):
+        k = jax.random.fold_in(key, i)
+        if mode == "cdf":
+            feat = ot_step_cdf(k, feat, stats.samples)
+        else:
+            feat = ot_step_moment(k, feat, stats, mode, eps)
+        if content_feature is not None:
+            feat = feat + content_strength * (content_feature - feat)
+        return feat
+
+    if n_iters == 0:
+        return feature
+    return jax.lax.fori_loop(0, n_iters, body, feature)

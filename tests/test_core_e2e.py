@@ -1,0 +1,119 @@
+"""End-to-end integration tests on CPU at tiny sizes: all four modes run,
+outputs are sane, seeds reproduce. (Statistical quality gates live in
+test_quality.py-style TPU runs; here sizes are tiny for the 1-core CI.)"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from optimaltextures_tpu import core
+from optimaltextures_tpu.config import OptexConfig
+from optimaltextures_tpu.utils import imageio
+
+STYLE = "/root/reference/style/graffiti.jpg"
+STYLE2 = "/root/reference/style/zebra.jpg"
+CONTENT = "/root/reference/content/rocket.jpg"
+
+
+def tiny_cfg(**kw):
+    base = dict(size=64, passes=1, iters=8, no_multires=True, depth=2, seed=0,
+                style=[STYLE])
+    base.update(kw)
+    return OptexConfig(**base)
+
+
+def load(path, size=64):
+    return imageio.load_image(path, size, oversize=False)
+
+
+def test_synthesis_runs_and_matches_style_stats():
+    cfg = tiny_cfg(iters=16)
+    styles = [load(STYLE)]
+    out, _ = core.synthesize(cfg, styles)
+    out = np.asarray(out)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+    # pixel distribution should have moved from uniform noise toward the style
+    s = np.asarray(styles[0])
+    assert abs(out.mean() - s.mean()) < 0.15
+    assert abs(out.std() - s.std()) < 0.15
+
+
+def test_seed_reproducibility():
+    cfg = tiny_cfg(seed=123)
+    styles = [load(STYLE)]
+    a, _ = core.synthesize(cfg, styles)
+    b, _ = core.synthesize(tiny_cfg(seed=123), styles)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = core.synthesize(tiny_cfg(seed=124), styles)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+
+def test_style_transfer_with_content():
+    cfg = tiny_cfg(content=CONTENT, content_strength=0.5)
+    styles = [load(STYLE)]
+    content = load(CONTENT)
+    out, _ = core.synthesize(cfg, styles, content)
+    assert np.asarray(out).shape == content.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_texture_mixing():
+    cfg = tiny_cfg(style=[STYLE, STYLE2], mixing_alpha=0.5)
+    a, b = load(STYLE), load(STYLE2)
+    # mixing requires equal style shapes (reference asserts, optex.py:261)
+    h = min(a.shape[1], b.shape[1])
+    w = min(a.shape[2], b.shape[2])
+    styles = [a[:, :h, :w], b[:, :h, :w]]
+    out, _ = core.synthesize(cfg, styles)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("ct", ["lum", "opt"])
+def test_color_transfer(ct):
+    cfg = tiny_cfg(content=CONTENT, color_transfer=ct, iters=4)
+    styles = [load(STYLE)]
+    content = load(CONTENT)
+    out, _ = core.synthesize(cfg, styles, content)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    if ct == "lum":
+        # hue/saturation must come from the content (clamp first: the decoder
+        # is unclamped by design, and HLS of out-of-range RGB is unstable)
+        from optimaltextures_tpu.ops import colors
+        hls_out = np.asarray(colors.rgb_to_hls(jnp.asarray(np.clip(out, 0, 1))))
+        hls_c = np.asarray(colors.rgb_to_hls(jnp.asarray(content)))
+        m = (hls_c[..., 2] > 0.05) & np.isfinite(hls_out[..., 2])
+        assert np.abs((hls_out[..., 2] - hls_c[..., 2])[m]).mean() < 0.25
+
+
+def test_batch_synthesis():
+    cfg = tiny_cfg(batch=2, iters=4)
+    styles = [load(STYLE)]
+    out, _ = core.synthesize(cfg, styles)
+    out = np.asarray(out)
+    assert out.shape == (2, 64, 64, 3)
+    # batch elements differ (independent noise)
+    assert np.abs(out[0] - out[1]).max() > 1e-3
+
+
+def test_multires_passes():
+    cfg = OptexConfig(size=96, passes=2, iters=8, depth=2, seed=0, style=[STYLE])
+    styles = [load(STYLE, 96)]
+    out, _ = core.synthesize(cfg, styles)
+    assert np.asarray(out).shape == (1, 96, 96, 3)
+
+
+def test_cdf_mode_e2e():
+    cfg = tiny_cfg(hist_mode="cdf", iters=4)
+    styles = [load(STYLE)]
+    out, _ = core.synthesize(cfg, styles)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_no_pca_mode():
+    cfg = tiny_cfg(no_pca=True, iters=4)
+    styles = [load(STYLE)]
+    out, _ = core.synthesize(cfg, styles)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,39 @@
+"""Resize parity: the two-GEMM resampler must match torch
+F.interpolate(mode='bicubic', align_corners=False, antialias=True)
+(the reference's tensor resize, util.py:105-106), up and down."""
+
+import numpy as np
+import pytest
+
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from optimaltextures_tpu.ops.resize import resize_nearest_nhwc, resize_nhwc
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((64, 96), (32, 48)),    # clean 2x down
+    ((64, 96), (40, 72)),    # fractional down
+    ((32, 48), (64, 96)),    # 2x up
+    ((40, 56), (63, 91)),    # fractional up
+    ((64, 64), (64, 64)),    # identity
+])
+def test_bicubic_antialias_parity(in_hw, out_hw, rng):
+    x = rng.random((2, *in_hw, 3), dtype=np.float32)
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), size=out_hw,
+                        mode="bicubic", align_corners=False, antialias=True)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(resize_nhwc(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_nearest_parity(rng):
+    x = rng.random((1, 13, 17, 1), dtype=np.float32)
+    for out_hw in [(26, 34), (7, 50), (13, 17)]:
+        ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), size=out_hw,
+                            mode="nearest")
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(resize_nearest_nhwc(jnp.asarray(x), out_hw))
+        np.testing.assert_allclose(got, ref)

@@ -1,0 +1,102 @@
+"""Transport loop unit tests: rotation sampling, PCA, and equivalence of the
+fast moment path with the faithful reference data path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optimaltextures_tpu import transport
+from optimaltextures_tpu.ops.rotation import random_rotation
+
+
+def test_rotation_is_special_orthogonal():
+    for i, n in enumerate([3, 7, 64, 129]):
+        q = np.asarray(random_rotation(jax.random.key(i), n))
+        np.testing.assert_allclose(q @ q.T, np.eye(n), atol=1e-4)
+        assert abs(np.linalg.det(q) - 1.0) < 1e-3
+
+
+def test_rotation_is_haar_ish():
+    """First-moment sanity: entries of Haar rotations average to ~0 and the
+    first column is uniform on the sphere (mean norm contribution 1/n)."""
+    n = 16
+    qs = np.stack([np.asarray(random_rotation(jax.random.key(i), n)) for i in range(64)])
+    assert abs(qs.mean()) < 0.02
+    np.testing.assert_allclose((qs[:, :, 0] ** 2).sum(1), 1.0, atol=1e-4)
+
+
+def test_pca_matches_torch_svd(rng):
+    import torch
+
+    x = rng.normal(0, 1, (1, 16, 16, 12)).astype(np.float32)
+    x[..., :3] *= 10.0  # give the spectrum some decay
+    s, v = transport.pca_spectrum(jnp.asarray(x))
+    s = np.asarray(s)
+
+    xt = torch.from_numpy(x.reshape(-1, 12) - x.mean())
+    _, ts, tv = torch.svd(xt)
+    np.testing.assert_allclose(s, ts.numpy(), rtol=1e-3, atol=1e-3)
+
+    k = transport.choose_k(s)
+    tk = int((torch.cumsum(ts / ts.sum(), 0) > 0.9).int().argmax())
+    assert k == max(tk, 1)
+
+    # subspace parity for the kept components (signs may differ)
+    v = np.asarray(v)[:, :k]
+    tvk = tv.numpy()[:, :k]
+    np.testing.assert_allclose(v @ v.T, tvk @ tvk.T, atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["chol", "pca", "sym"])
+def test_fast_moment_path_equals_reference_path(mode, rng):
+    """ot_step_moment (precomputed style cov + folded operator) must equal the
+    faithful rotate/match/unrotate path given the same PRNG key."""
+    key = jax.random.key(42)
+    feat = jnp.asarray(rng.normal(1.0, 2.0, (2, 8, 8, 10)).astype(np.float32))
+    style = jnp.asarray(rng.normal(-1.0, 1.5, (1, 9, 7, 10)).astype(np.float32))
+
+    ref = np.asarray(transport.ot_step_reference(key, feat, style, mode))
+    stats = transport.style_stats(style, need_samples=False)
+    got = np.asarray(transport.ot_step_moment(key, feat, stats, mode))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_transport_loop_converges_to_style_stats(rng):
+    """After enough sliced-OT iterations the feature cloud's mean/cov approach
+    the style's — the core algorithmic guarantee."""
+    key = jax.random.key(0)
+    feat = jnp.asarray(rng.normal(0.0, 1.0, (1, 16, 16, 4)).astype(np.float32))
+    cov = np.array([[4.0, 1, 0, 0], [1, 2, 0, 0], [0, 0, 1, 0.5], [0, 0, 0.5, 1]])
+    style_np = rng.multivariate_normal([5, -3, 0, 1], cov, 400).astype(np.float32)
+    style = jnp.asarray(style_np.reshape(1, 20, 20, 4))
+
+    stats = transport.style_stats(style, need_samples=False)
+    out = np.asarray(transport.transport_loop(key, feat, stats, 30, "chol"))
+    np.testing.assert_allclose(out.mean((0, 1, 2)), style_np.mean(0), atol=0.3)
+    out_c = np.cov(out.reshape(-1, 4).T)
+    np.testing.assert_allclose(out_c, np.cov(style_np.T), atol=0.6)
+
+
+def test_transport_loop_content_pull(rng):
+    """With huge content strength the features lock onto the content."""
+    key = jax.random.key(1)
+    feat = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32))
+    style = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32))
+    content = jnp.asarray(rng.normal(3, 1, (1, 8, 8, 4)).astype(np.float32))
+    stats = transport.style_stats(style, need_samples=False)
+    out = np.asarray(transport.transport_loop(key, feat, stats, 5, "chol",
+                                              content_feature=content,
+                                              content_strength=0.999))
+    np.testing.assert_allclose(out, np.asarray(content), atol=0.15)
+
+
+def test_transport_loop_cdf_mode_runs(rng):
+    key = jax.random.key(2)
+    feat = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 3)).astype(np.float32))
+    style = jnp.asarray(rng.normal(4, 0.5, (1, 8, 8, 3)).astype(np.float32))
+    stats = transport.style_stats(style, need_samples=True)
+    out = np.asarray(transport.transport_loop(key, feat, stats, 10, "cdf"))
+    assert np.isfinite(out).all()
+    assert abs(out.mean() - 4.0) < 0.5
