@@ -1,0 +1,147 @@
+"""Spatial (height-axis) sharding: run ONE huge image across many chips.
+
+The reference's only scaling axis is image resolution (SURVEY §5: no
+attention, no sequence — resolution is the analogue). Beyond ~2048px a single
+chip runs out of appetite; here the image's H axis is sharded over the mesh
+and every component of the pipeline becomes SPMD:
+
+* 3x3 convs exchange 1-row halos with ``lax.ppermute`` (reflection padding
+  applies only at the global top/bottom edges, selected by ``axis_index``);
+* 2x2 pools/upsamples never straddle shard boundaries as long as each local
+  H stays even — guaranteed when H_global is divisible by
+  ``n_devices * 2**(depth-1)`` (checked host-side);
+* OT moments psum partial Gram matrices (the "sequence-parallel sliced OT"
+  of SURVEY §5): per-image means AND covariances are global reductions here,
+  unlike batch-DP where means stay local.
+
+This module provides the halo-exchange conv stack and a fully sharded
+(encode -> OT loop -> decode) stage builder.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import arch
+from ..ops.convops import conv2d_nhwc, maxpool_2x2_ceil, upsample_nearest_2x
+from ..ops import histmatch
+from ..ops.rotation import random_rotation
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _halo_pad_h(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Pad the sharded H axis by 1 row on each side: interior rows come from
+    the neighbouring shard (ppermute), global edges reflect locally."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    # row sent downward (to shard i+1) is our last row; upward is our first
+    perm_down = [(i, i + 1) for i in range(n - 1)]
+    perm_up = [(i + 1, i) for i in range(n - 1)]
+    from_above = jax.lax.ppermute(x[:, -1:], axis, perm_down)   # valid on i>0
+    from_below = jax.lax.ppermute(x[:, :1], axis, perm_up)      # valid on i<n-1
+    # reflection (exclude-edge, torch ReflectionPad2d) at the global borders
+    top = jnp.where(idx == 0, x[:, 1:2], from_above)
+    bot = jnp.where(idx == n - 1, x[:, -2:-1], from_below)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def _reflect_pad_w(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+
+
+def run_stack_spatial(params, specs, x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """The VGG conv stack with H sharded: halo-exchange instead of local
+    reflection padding on H. Mirrors models.vgg._run_stack op-for-op."""
+    for (w, b), (_, _, k, pre, post) in zip(params, specs):
+        if pre == "pool":
+            x = maxpool_2x2_ceil(x)
+        elif pre == "up":
+            x = upsample_nearest_2x(x)
+        if k == 3:
+            x = _reflect_pad_w(_halo_pad_h(x, axis))
+        x = conv2d_nhwc(x, w, b)
+        if post == "relu":
+            x = jax.nn.relu(x)
+    return x
+
+
+def encode_spatial(params, depth: int, img: jnp.ndarray, axis: str) -> jnp.ndarray:
+    return run_stack_spatial(params, arch.encoder_specs(depth), img, axis)
+
+
+def decode_spatial(params, depth: int, feat: jnp.ndarray, axis: str) -> jnp.ndarray:
+    return run_stack_spatial(params, arch.decoder_specs(depth), feat, axis)
+
+
+def _global_moments(x: jnp.ndarray, axis: str):
+    """Spatially-sharded moments: mean AND covariance reduce over the mesh."""
+    c = x.shape[-1]
+    n_dev = jax.lax.psum(1, axis)
+    local_n = x.shape[0] * x.shape[1] * x.shape[2]
+    total = local_n * n_dev
+    mean = jax.lax.psum(jnp.sum(x, axis=(1, 2), keepdims=True), axis) / (
+        x.shape[1] * x.shape[2] * n_dev)
+    xc = (x - mean).reshape(-1, c)
+    gram = jax.lax.psum(jnp.matmul(xc.T, xc, precision=HIGHEST), axis)
+    return mean, xc, gram / total
+
+
+def ot_step_moment_spatial(key, feature, style_mu, style_cov_raw, mode: str,
+                           axis: str, eps: float = 1.0):
+    """One sliced-OT step on an H-sharded feature map (exact global stats)."""
+    c = feature.shape[-1]
+    rot = random_rotation(key, c)
+    mu_t, xc, cov_t_raw = _global_moments(feature, axis)
+    cov_t_rot = rot.T @ (cov_t_raw @ rot)
+    cov_s_rot = rot.T @ (style_cov_raw @ rot)
+    a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+    m = rot @ (a.T @ rot.T)
+    b, h, w, _ = feature.shape
+    out = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c)
+    return out + style_mu
+
+
+def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
+                       use_pca: bool = False, axis: str = "space"):
+    """Jitted full stage over an H-sharded pastiche: halo-exchange encode ->
+    sequence-parallel OT loop -> halo-exchange decode.
+
+    fn(enc_params, dec_params, pastiche_HxW-sharded, style_mu, style_cov_raw,
+    eigvecs, key) -> pastiche. Style stats replicated.
+    """
+    shard = P(None, axis, None, None)
+    rep = P()
+
+    def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
+                    eigvecs, key):
+        feat = encode_spatial(enc_params, depth, pastiche, axis)
+        if use_pca:
+            feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
+
+        def body(i, f):
+            return ot_step_moment_spatial(jax.random.fold_in(key, i), f,
+                                          style_mu, style_cov_raw, mode, axis)
+
+        feat = jax.lax.fori_loop(0, n_iters, body, feat) if n_iters else feat
+        if use_pca:
+            feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
+        return decode_spatial(dec_params, depth, feat, axis)
+
+    fn = jax.shard_map(stage_local, mesh=mesh,
+                       in_specs=(rep, rep, shard, rep, rep, rep, rep),
+                       out_specs=shard)
+    return jax.jit(fn)
+
+
+def check_spatial_divisibility(h: int, n_devices: int, depth: int) -> None:
+    need = n_devices * (2 ** (depth - 1))
+    if h % need != 0:
+        raise ValueError(
+            f"H={h} must be divisible by n_devices*2^(depth-1)={need} for "
+            f"spatial sharding at depth {depth}")

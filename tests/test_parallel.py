@@ -1,0 +1,94 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: batch-DP and spatial
+sharding must match the single-device pipeline to float tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from optimaltextures_tpu import transport
+from optimaltextures_tpu.models import weights
+from optimaltextures_tpu.models.vgg import decode, encode
+from optimaltextures_tpu.parallel import spatial
+from optimaltextures_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from optimaltextures_tpu.parallel.shard_ot import make_sharded_stage
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+DEPTH = 2
+
+
+def _params():
+    cast = lambda ps: [(jnp.asarray(w), jnp.asarray(b)) for w, b in ps]
+    return (cast(weights.load_encoder_params(DEPTH)),
+            cast(weights.load_decoder_params(DEPTH)))
+
+
+def _single_device_stage(enc_p, dec_p, pastiche, stats, key, n_iters, mode):
+    feat = encode(enc_p, DEPTH, pastiche)
+    feat = transport.transport_loop(key, feat, stats, n_iters, mode)
+    return decode(dec_p, DEPTH, feat)
+
+
+def test_batch_dp_matches_single_device(rng):
+    enc_p, dec_p = _params()
+    mesh = make_mesh(8)
+    b = 8
+    pastiche = jnp.asarray(rng.random((b, 32, 32, 3), dtype=np.float32))
+    style_feat = jnp.asarray(
+        np.maximum(rng.normal(1.0, 2.0, (1, 16, 16, 128)), 0).astype(np.float32))
+    stats = transport.style_stats(style_feat, need_samples=False)
+    key = jax.random.key(3)
+
+    ref = np.asarray(_single_device_stage(enc_p, dec_p, pastiche, stats, key, 3, "chol"))
+
+    stage = make_sharded_stage(mesh, depth=DEPTH, n_iters=3, mode="chol")
+    p_sh = jax.device_put(pastiche, batch_sharding(mesh))
+    rep = replicated(mesh)
+    got = stage(enc_p, dec_p, p_sh,
+                jax.device_put(stats.mu, rep), jax.device_put(stats.cov_raw, rep),
+                None, None, key)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_spatial_encode_matches_single_device(rng):
+    """Halo-exchange conv stack == local conv stack on the gathered image."""
+    enc_p, dec_p = _params()
+    mesh = make_mesh(8, axis="space")
+    img = jnp.asarray(rng.random((1, 64, 48, 3), dtype=np.float32))
+
+    ref = np.asarray(encode(enc_p, DEPTH, img))
+
+    fn = jax.jit(jax.shard_map(
+        lambda x: spatial.encode_spatial(enc_p, DEPTH, x, "space"),
+        mesh=mesh, in_specs=P(None, "space", None, None),
+        out_specs=P(None, "space", None, None)))
+    img_sh = jax.device_put(img, NamedSharding(mesh, P(None, "space", None, None)))
+    got = np.asarray(fn(img_sh))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_full_stage_matches_single_device(rng):
+    enc_p, dec_p = _params()
+    mesh = make_mesh(8, axis="space")
+    img = jnp.asarray(rng.random((1, 64, 48, 3), dtype=np.float32))
+    style_feat = jnp.asarray(
+        np.maximum(rng.normal(1.0, 2.0, (1, 16, 16, 128)), 0).astype(np.float32))
+    stats = transport.style_stats(style_feat, need_samples=False)
+    key = jax.random.key(5)
+
+    ref = np.asarray(_single_device_stage(enc_p, dec_p, img, stats, key, 3, "chol"))
+
+    spatial.check_spatial_divisibility(64, 8, DEPTH)
+    stage = spatial.make_spatial_stage(mesh, depth=DEPTH, n_iters=3, mode="chol")
+    img_sh = jax.device_put(img, NamedSharding(mesh, P(None, "space", None, None)))
+    got = np.asarray(stage(enc_p, dec_p, img_sh, stats.mu, stats.cov_raw, None, key))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_spatial_divisibility_check():
+    with pytest.raises(ValueError):
+        spatial.check_spatial_divisibility(100, 8, 3)
+    spatial.check_spatial_divisibility(256, 8, 3)
