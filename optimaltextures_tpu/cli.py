@@ -39,8 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=500,
                    help="total sliced-OT iteration budget")
     p.add_argument("--hist_mode", type=str, default="chol",
-                   choices=["sym", "pca", "chol", "cdf"],
-                   help="histogram matching strategy")
+                   choices=["sym", "pca", "chol", "cdf", "sort"],
+                   help="histogram matching strategy (sort = exact 1-D OT, "
+                        "TPU-native extension beyond the reference)")
     p.add_argument("--color_transfer", type=str, default=None,
                    choices=["lum", "opt"],
                    help="keep the content image's colors")

@@ -18,7 +18,7 @@ class OptexConfig:
     size: int = 512                   # output size (first dim; second follows aspect)
     passes: int = 5                   # loops over the VGG layer stack
     iters: int = 500                  # total sliced-OT iteration budget
-    hist_mode: str = "chol"           # sym | pca | chol | cdf
+    hist_mode: str = "chol"           # sym | pca | chol | cdf | sort (TPU extension)
     color_transfer: Optional[str] = None   # None | lum | opt
     content_strength: float = 0.01
     style_scale: float = 1.0
@@ -52,8 +52,9 @@ class OptexConfig:
     output_dir: str = "output/"
 
     def validate(self) -> "OptexConfig":
-        if self.hist_mode not in ("sym", "pca", "chol", "cdf"):
-            raise ValueError(f"hist_mode must be sym|pca|chol|cdf, got {self.hist_mode!r}")
+        if self.hist_mode not in ("sym", "pca", "chol", "cdf", "sort"):
+            raise ValueError(
+                f"hist_mode must be sym|pca|chol|cdf|sort, got {self.hist_mode!r}")
         if self.color_transfer not in (None, "lum", "opt"):
             raise ValueError(f"color_transfer must be lum|opt, got {self.color_transfer!r}")
         if not 1 <= len(self.style) <= 2:

@@ -145,7 +145,7 @@ class Synthesizer:
             style_tens = styles
             cont = content
 
-        need_samples = cfg.hist_mode == "cdf"
+        need_samples = cfg.hist_mode in ("cdf", "sort")
         targets: List[LayerTargets] = []
         raw_style_feats: List[jnp.ndarray] = []
         eigvecs_list: List[Optional[jnp.ndarray]] = []

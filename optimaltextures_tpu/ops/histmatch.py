@@ -189,12 +189,67 @@ def _cdf_match_channel(t: jnp.ndarray, s: jnp.ndarray, bins: int) -> jnp.ndarray
     return interp_ref(t, bin_edges, remapped)
 
 
-def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS) -> jnp.ndarray:
-    """CDF matching, NHWC -> NHWC, vmapped across channels."""
+def _cdf_apply_channel(t, t_hist, s_hist, lo, hi, bins):
+    """Apply CDF matching given precomputed per-channel histograms."""
+    bin_edges = jnp.linspace(lo, hi, bins + 1)[1:]
+    t_cdf = jnp.cumsum(t_hist)
+    t_cdf = t_cdf / t_cdf[-1]
+    s_cdf = jnp.cumsum(s_hist)
+    s_cdf = s_cdf / s_cdf[-1]
+    remapped = interp_ref(t_cdf, s_cdf, bin_edges)
+    return interp_ref(t, bin_edges, remapped)
+
+
+def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS,
+              use_pallas: bool | None = None) -> jnp.ndarray:
+    """CDF matching, NHWC -> NHWC, vmapped across channels.
+
+    On TPU the per-channel histograms come from the fused Pallas kernel
+    (one launch for all channels); elsewhere from an XLA scatter-add.
+    """
     bt, h, w, c = target.shape
     t = target.reshape(-1, c).T  # (C, Nt)
     s = source.reshape(-1, c).T  # (C, Ns)
-    matched = jax.vmap(partial(_cdf_match_channel, bins=bins))(t, s)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas and bins == BINS:
+        from .pallas.histogram import batched_histogram
+
+        lo = jnp.minimum(t.min(axis=1), s.min(axis=1))
+        hi = jnp.maximum(t.max(axis=1), s.max(axis=1))
+        t_hist = batched_histogram(t, lo, hi)
+        s_hist = batched_histogram(s, lo, hi)
+        matched = jax.vmap(partial(_cdf_apply_channel, bins=bins))(
+            t, t_hist, s_hist, lo, hi)
+    else:
+        matched = jax.vmap(partial(_cdf_match_channel, bins=bins))(t, s)
+    return matched.T.reshape(bt, h, w, c)
+
+
+# ----------------------------------------------------------------------------
+# Sort matching: exact sliced 1-D optimal transport (TPU-native extension)
+
+
+def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+    """Exact per-channel 1-D OT via order statistics, NHWC -> NHWC.
+
+    The cdf mode approximates the 1-D transport map with 256 bins (a
+    torch.histc legacy); the exact map sends the r-th smallest target sample
+    to the source's (r+0.5)/Nt quantile. Two sorts + a gather per channel —
+    no histograms, no interpolation error, and jnp.sort vectorizes across
+    channels on TPU. Not in the reference; exposed as hist_mode="sort".
+    """
+    bt, h, w, c = target.shape
+    t = target.reshape(-1, c).T  # (C, Nt)
+    s = source.reshape(-1, c).T  # (C, Ns)
+    nt, ns = t.shape[1], s.shape[1]
+
+    s_sorted = jnp.sort(s, axis=1)
+    order = jnp.argsort(t, axis=1)
+    ranks = jnp.argsort(order, axis=1)  # rank of each sample in its channel
+    src_idx = jnp.clip(((ranks.astype(jnp.float32) + 0.5) * (ns / nt))
+                       .astype(jnp.int32), 0, ns - 1)
+    matched = jnp.take_along_axis(s_sorted, src_idx, axis=1)
     return matched.T.reshape(bt, h, w, c)
 
 
@@ -207,4 +262,6 @@ def hist_match(target: jnp.ndarray, source: jnp.ndarray, mode: str = "chol",
     """NHWC target matched to NHWC source's per-channel statistics."""
     if mode == "cdf":
         return cdf_match(target, source)
+    if mode == "sort":
+        return sort_match(target, source)
     return moment_match(target, source, mode, eps)

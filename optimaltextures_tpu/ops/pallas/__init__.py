@@ -1,0 +1,1 @@
+from . import histogram  # noqa: F401

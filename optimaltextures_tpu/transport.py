@@ -58,16 +58,14 @@ def style_stats(style_feature: jnp.ndarray, need_samples: bool) -> StyleStats:
     return StyleStats(mu=mu, cov_raw=cov, samples=samples)
 
 
-def ot_step_moment(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
-                   mode: str, eps: float = 1.0) -> jnp.ndarray:
-    """One sliced-OT iteration, moment-matching fast path. NHWC -> NHWC.
+def _moment_step_with_rot(rot: jnp.ndarray, feature: jnp.ndarray,
+                          stats: StyleStats, mode: str, eps: float) -> jnp.ndarray:
+    """One moment-matching sliced-OT step with a supplied rotation.
 
-    matched = (x - mu_t) @ (R A^T R^T) + mu_s, with A the C x C matching
-    operator computed in the rotated basis.
+    matched = (x - mu_t) @ (R A^T R^T) + mu_s with A computed in the rotated
+    basis from congruence-rotated covariances — only TWO sample-sized GEMMs.
     """
     c = feature.shape[-1]
-    rot = random_rotation(key, c)
-
     mu_t, cov_t_raw = histmatch.moment_stats(feature)
     # covariances in the rotated basis (congruence instead of sample GEMMs)
     cov_t_rot = jnp.matmul(rot.T, jnp.matmul(cov_t_raw, rot, precision=HIGHEST),
@@ -85,17 +83,36 @@ def ot_step_moment(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     return out + stats.mu
 
 
-def ot_step_cdf(key: jax.Array, feature: jnp.ndarray, style_samples: jnp.ndarray
-                ) -> jnp.ndarray:
-    """One sliced-OT iteration, exact-CDF path (faithful data movement)."""
+def ot_step_moment(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
+                   mode: str, eps: float = 1.0) -> jnp.ndarray:
+    """One sliced-OT iteration, moment fast path, sampling its own rotation."""
+    rot = random_rotation(key, feature.shape[-1])
+    return _moment_step_with_rot(rot, feature, stats, mode, eps)
+
+
+def _sampled_step_with_rot(rot: jnp.ndarray, feature: jnp.ndarray,
+                           style_samples: jnp.ndarray, mode: str) -> jnp.ndarray:
     c = feature.shape[-1]
-    rot = random_rotation(key, c)
     b, h, w, _ = feature.shape
     rf = jnp.matmul(feature.reshape(-1, c), rot, precision=HIGHEST)
     rs = jnp.matmul(style_samples, rot, precision=HIGHEST)
-    matched = histmatch.cdf_match(rf.reshape(b, h, w, c), rs.reshape(1, -1, 1, c))
+    match = histmatch.sort_match if mode == "sort" else histmatch.cdf_match
+    matched = match(rf.reshape(b, h, w, c), rs.reshape(1, -1, 1, c))
     return jnp.matmul(matched.reshape(-1, c), rot.T, precision=HIGHEST
                       ).reshape(b, h, w, c)
+
+
+def ot_step_sampled(key: jax.Array, feature: jnp.ndarray,
+                    style_samples: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """One sliced-OT iteration on raw sample clouds: cdf (256-bin, reference
+    semantics) or sort (exact 1-D OT, TPU extension)."""
+    rot = random_rotation(key, feature.shape[-1])
+    return _sampled_step_with_rot(rot, feature, style_samples, mode)
+
+
+# backward-compatible alias (cdf only)
+def ot_step_cdf(key, feature, style_samples):
+    return ot_step_sampled(key, feature, style_samples, "cdf")
 
 
 def ot_step_reference(key: jax.Array, feature: jnp.ndarray, style_feature: jnp.ndarray,
@@ -155,16 +172,25 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     The content step matches the reference exactly (optex.py:115-117):
     feature += strength * (content_feature - feature) after each OT iter.
     """
+    if n_iters == 0:
+        return feature
+
+    # Batch ALL the stage's rotation QRs into one vmapped decomposition
+    # outside the loop — XLA batches QR across the leading dim far better
+    # than n_iters sequential small QRs inside the loop body. Keys are
+    # fold_in(key, i), identical to sampling inside the loop.
+    c = feature.shape[-1]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_iters))
+    rotations = jax.vmap(lambda k: random_rotation(k, c))(keys)
+
     def body(i, feat):
-        k = jax.random.fold_in(key, i)
-        if mode == "cdf":
-            feat = ot_step_cdf(k, feat, stats.samples)
+        rot = rotations[i]
+        if mode in ("cdf", "sort"):
+            feat = _sampled_step_with_rot(rot, feat, stats.samples, mode)
         else:
-            feat = ot_step_moment(k, feat, stats, mode, eps)
+            feat = _moment_step_with_rot(rot, feat, stats, mode, eps)
         if content_feature is not None:
             feat = feat + content_strength * (content_feature - feat)
         return feat
 
-    if n_iters == 0:
-        return feature
     return jax.lax.fori_loop(0, n_iters, body, feature)

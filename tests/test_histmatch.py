@@ -132,6 +132,29 @@ def test_cdf_match_moves_distribution(rng):
     assert abs(got.std() - 0.25) < 0.1
 
 
+def test_sort_match_exact_permutation(rng):
+    """Equal sample counts: sort matching is exactly the sorted-source values
+    rearranged by the target's ranks — the exact 1-D OT assignment."""
+    t = rng.normal(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    s = rng.normal(4, 2, (1, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(histmatch.sort_match(jnp.asarray(t), jnp.asarray(s)))
+    # matched distribution IS the source distribution (same multiset)
+    np.testing.assert_allclose(np.sort(got.reshape(-1, 3), axis=0),
+                               np.sort(s.reshape(-1, 3), axis=0), rtol=1e-6)
+    # and order follows the target's order
+    tf, gf = t.reshape(-1, 3), got.reshape(-1, 3)
+    for ch in range(3):
+        assert (np.argsort(tf[:, ch]) == np.argsort(gf[:, ch], kind="stable")).all()
+
+
+def test_sort_match_unequal_sizes(rng):
+    t = rng.normal(0, 1, (1, 10, 10, 2)).astype(np.float32)
+    s = rng.normal(5, 0.5, (1, 7, 9, 2)).astype(np.float32)
+    got = np.asarray(histmatch.sort_match(jnp.asarray(t), jnp.asarray(s)))
+    assert np.isfinite(got).all()
+    assert abs(got.mean() - 5.0) < 0.2
+
+
 def test_cdf_match_constant_channel_is_safe(rng):
     """Degenerate hi == lo must not produce NaNs (the reference would)."""
     t = np.full((1, 4, 4, 2), 3.0, dtype=np.float32)
