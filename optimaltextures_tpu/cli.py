@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--depth", type=int, default=None,
                    help="max VGG depth (default: deepest available weights)")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="shard --batch synthesis over this many chips "
+                        "(exact joint statistics via ICI collectives)")
     p.add_argument("--conv_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv stack compute dtype (bfloat16 = faster MXU)")

@@ -120,6 +120,34 @@ class Synthesizer:
         seed = cfg.seed if cfg.seed is not None else np.random.SeedSequence().entropy % (2 ** 63)
         self.key = jax.random.key(int(seed))
 
+        # multi-chip batch data parallelism (synthesis only; content runs
+        # single-chip since the reference ignores --batch with content)
+        self.mesh = None
+        self._dp_stages = {}
+        if cfg.num_devices > 1:
+            from .parallel.mesh import make_mesh
+
+            if cfg.batch % cfg.num_devices != 0:
+                raise ValueError(
+                    f"batch {cfg.batch} not divisible by num_devices "
+                    f"{cfg.num_devices}")
+            self.mesh = make_mesh(cfg.num_devices)
+
+    def _dp_stage(self, depth: int, n_iters: int, strength: float, use_pca: bool):
+        from .parallel.shard_ot import make_sharded_stage
+
+        key = (depth, n_iters, strength, use_pca)
+        if key not in self._dp_stages:
+            self._dp_stages[key] = make_sharded_stage(
+                self.mesh, depth=depth, n_iters=n_iters,
+                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca)
+        return self._dp_stages[key]
+
+    def _dp_shard(self, pastiche):
+        from .parallel.mesh import batch_sharding
+
+        return jax.device_put(pastiche, batch_sharding(self.mesh))
+
     # -- input preparation ----------------------------------------------------
 
     def encode_inputs(self, pastiche, styles, content, size: int, pass_key):
@@ -223,14 +251,25 @@ class Synthesizer:
                 # 1/16, 1/8, 1/4 of content_strength
                 has_content = tgt.content is not None and l <= 2
                 strength = cfg.content_strength / 2 ** (4 - l) if has_content else 0.0
-                pastiche = _stage_jit(
-                    self.bank.enc_params[d], self.bank.dec_params[d],
-                    pastiche.astype(self.bank.enc_params[d][0][0].dtype),
-                    tgt.stats, tgt.eigvecs,
-                    tgt.content if has_content else None,
-                    jax.random.fold_in(pass_key, l),
-                    depth=d, n_iters=int(n_iters), mode=cfg.hist_mode,
-                    strength=float(strength), use_pca=tgt.eigvecs is not None)
+                stage_key = jax.random.fold_in(pass_key, l)
+                conv_dtype = self.bank.enc_params[d][0][0].dtype
+                if self.mesh is not None and content is None:
+                    stage = self._dp_stage(d, int(n_iters), float(strength),
+                                           tgt.eigvecs is not None)
+                    pastiche = stage(
+                        self.bank.enc_params[d], self.bank.dec_params[d],
+                        self._dp_shard(pastiche.astype(conv_dtype)),
+                        tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
+                        tgt.eigvecs, None, stage_key)
+                else:
+                    pastiche = _stage_jit(
+                        self.bank.enc_params[d], self.bank.dec_params[d],
+                        pastiche.astype(conv_dtype),
+                        tgt.stats, tgt.eigvecs,
+                        tgt.content if has_content else None,
+                        stage_key,
+                        depth=d, n_iters=int(n_iters), mode=cfg.hist_mode,
+                        strength=float(strength), use_pca=tgt.eigvecs is not None)
                 pastiche = pastiche.astype(jnp.float32)
 
         if cfg.color_transfer is not None:

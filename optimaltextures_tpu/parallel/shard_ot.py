@@ -47,13 +47,11 @@ def _local_moments(x: jnp.ndarray):
     return mu, xc, gram, xc.shape[0]
 
 
-def ot_step_moment_sharded(key, feature, style_mu, style_cov_raw, mode: str,
-                           axis: str, eps: float = 1.0):
+def _moment_step_sharded(rot, feature, style_mu, style_cov_raw, mode: str,
+                         axis: str, eps: float = 1.0):
     """One sliced-OT step inside shard_map: feature is the LOCAL batch shard;
     the covariance is psum'd so matching is joint across the global batch."""
     c = feature.shape[-1]
-    rot = random_rotation(key, c)  # same key on all shards -> same rotation
-
     mu_t, xc, gram, n_local = _local_moments(feature)
     gram = jax.lax.psum(gram, axis)
     n_total = n_local * jax.lax.psum(1, axis)
@@ -69,19 +67,76 @@ def ot_step_moment_sharded(key, feature, style_mu, style_cov_raw, mode: str,
     return out + style_mu
 
 
+def ot_step_moment_sharded(key, feature, style_mu, style_cov_raw, mode: str,
+                           axis: str, eps: float = 1.0):
+    rot = random_rotation(key, feature.shape[-1])  # same key everywhere
+    return _moment_step_sharded(rot, feature, style_mu, style_cov_raw, mode,
+                                axis, eps)
+
+
+def _cdf_step_sharded(rot, feature, style_samples, axis: str):
+    """Sharded cdf matching: lo/hi and the target histogram reduce over the
+    mesh (pmin/pmax + psum), so the 256-bin CDF is the exact global one; the
+    remap then applies locally. Style samples are replicated."""
+    from ..ops.histmatch import BINS, _cdf_apply_channel, _histc
+
+    c = feature.shape[-1]
+    b, h, w, _ = feature.shape
+    rf = jnp.matmul(feature.reshape(-1, c), rot, precision=HIGHEST)
+    rs = jnp.matmul(style_samples, rot, precision=HIGHEST)
+
+    t = rf.T  # (C, N_local)
+    s = rs.T
+    lo = jnp.minimum(jax.lax.pmin(t.min(axis=1), axis), s.min(axis=1))
+    hi = jnp.maximum(jax.lax.pmax(t.max(axis=1), axis), s.max(axis=1))
+
+    t_hist = jax.vmap(lambda tc, l, h_: _histc(tc, l, h_, BINS))(t, lo, hi)
+    t_hist = jax.lax.psum(t_hist, axis)  # exact global target histogram
+    s_hist = jax.vmap(lambda sc, l, h_: _histc(sc, l, h_, BINS))(s, lo, hi)
+
+    matched = jax.vmap(lambda tc, th, sh, l, h_: _cdf_apply_channel(
+        tc, th, sh, l, h_, BINS))(t, t_hist, s_hist, lo, hi)
+    out = jnp.matmul(matched.T, rot.T, precision=HIGHEST)
+    return out.reshape(b, h, w, c)
+
+
 def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
                            mode: str, axis: str,
+                           style_samples: Optional[jnp.ndarray] = None,
                            content_feature: Optional[jnp.ndarray] = None,
                            content_strength: float = 0.0):
+    if n_iters == 0:
+        return feature
+
+    c = feature.shape[-1]
+    # batched rotation QR outside the loop (identical keys on every shard)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_iters))
+    rotations = jax.vmap(lambda k: random_rotation(k, c))(keys)
+
     def body(i, feat):
-        k = jax.random.fold_in(key, i)
-        feat = ot_step_moment_sharded(k, feat, style_mu, style_cov_raw, mode, axis)
+        rot = rotations[i]
+        if mode == "cdf":
+            feat = _cdf_step_sharded(rot, feat, style_samples, axis)
+        elif mode == "sort":
+            # exact global order statistics across shards would need a
+            # distributed sort; per-shard matching is the supported (and for
+            # independent pastiches arguably preferable) semantics here
+            from ..ops import histmatch
+
+            b, h, w, _ = feat.shape
+            rf = jnp.matmul(feat.reshape(-1, c), rot, precision=HIGHEST)
+            rs = jnp.matmul(style_samples, rot, precision=HIGHEST)
+            m = histmatch.sort_match(rf.reshape(b, h, w, c),
+                                     rs.reshape(1, -1, 1, c))
+            feat = jnp.matmul(m.reshape(-1, c), rot.T,
+                              precision=HIGHEST).reshape(b, h, w, c)
+        else:
+            feat = _moment_step_sharded(rot, feat, style_mu, style_cov_raw,
+                                        mode, axis)
         if content_feature is not None:
             feat = feat + content_strength * (content_feature - feat)
         return feat
 
-    if n_iters == 0:
-        return feature
     return jax.lax.fori_loop(0, n_iters, body, feature)
 
 
@@ -92,29 +147,31 @@ def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
     unproject -> decode) over a batch-sharded pastiche.
 
     Returns fn(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-    eigvecs, content_feat, key) -> pastiche. All non-pastiche inputs are
-    replicated; pastiche (and content features) are sharded on batch.
+    style_samples, eigvecs, content_feat, key) -> pastiche. All non-pastiche
+    inputs are replicated; pastiche is sharded on batch; content features are
+    replicated (B=1 broadcasts against local shards).
     """
     shard = P(axis, None, None, None)
     rep = P()
 
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-                    eigvecs, content_feat, key):
+                    style_samples, eigvecs, content_feat, key):
         feat = encode(enc_params, depth, pastiche)
+        feat = feat.astype(jnp.float32)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
         feat = sharded_transport_loop(key, feat, style_mu, style_cov_raw,
                                       n_iters, mode, axis,
+                                      style_samples=style_samples,
                                       content_feature=content_feat,
                                       content_strength=strength)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
-        return decode(dec_params, depth, feat)
+        return decode(dec_params, depth, feat.astype(pastiche.dtype))
 
-    # content features are replicated (B=1 broadcasts against local shards)
     fn = jax.shard_map(
         stage_local, mesh=mesh,
-        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep),
         out_specs=shard,
     )
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(2,))

@@ -49,7 +49,7 @@ def test_batch_dp_matches_single_device(rng):
     rep = replicated(mesh)
     got = stage(enc_p, dec_p, p_sh,
                 jax.device_put(stats.mu, rep), jax.device_put(stats.cov_raw, rep),
-                None, None, key)
+                None, None, None, key)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
@@ -86,6 +86,40 @@ def test_spatial_full_stage_matches_single_device(rng):
     img_sh = jax.device_put(img, NamedSharding(mesh, P(None, "space", None, None)))
     got = np.asarray(stage(enc_p, dec_p, img_sh, stats.mu, stats.cov_raw, None, key))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_dp_e2e_matches_single_device(rng):
+    """Full pipeline: batch-8 synthesis with num_devices=8 must equal the
+    single-device run (same seed) to float tolerance — DP is 'free' scaling."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=6, no_multires=True, depth=2, seed=11,
+                style=["/root/reference/style/graffiti.jpg"], batch=8)
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_dp_e2e_cdf_mode(rng):
+    """Sharded cdf matching (psum'd global histograms) equals single-device."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=3, no_multires=True, depth=2, seed=12,
+                style=["/root/reference/style/graffiti.jpg"], batch=8,
+                hist_mode="cdf")
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=5e-3, atol=5e-3)
 
 
 def test_spatial_divisibility_check():
