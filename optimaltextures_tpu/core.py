@@ -173,14 +173,21 @@ class Synthesizer:
             style_tens = styles
             cont = content
 
+        import os
+        timing = os.environ.get("OPTEX_TIMING") == "1"
+
         need_samples = cfg.hist_mode in ("cdf", "sort")
         targets: List[LayerTargets] = []
         raw_style_feats: List[jnp.ndarray] = []
         eigvecs_list: List[Optional[jnp.ndarray]] = []
         for l, d in enumerate(self.layer_depths):
+            t0 = time.time()
             enc = self.bank.enc_params[d]
             sf = jnp.concatenate([_encode_jit(enc, d, s) for s in style_tens], axis=0)
             sf = sf.astype(jnp.float32)
+            if timing:
+                sf.block_until_ready()
+                t1 = time.time()
 
             eigvecs = None
             if not cfg.no_pca:
@@ -190,6 +197,10 @@ class Synthesizer:
                 sf = jnp.matmul(sf, eigvecs, precision=jax.lax.Precision.HIGHEST)
             raw_style_feats.append(sf)
             eigvecs_list.append(eigvecs)
+            if timing:
+                sf.block_until_ready()
+                print(f"    prep d={d}: style-encode {(t1-t0)*1000:.1f} ms, "
+                      f"pca {(time.time()-t1)*1000:.1f} ms", flush=True)
 
         # content re-centering uses the PRE-mix style means: the reference's
         # encode_inputs computes them before mixing runs (optex.py:76 vs 97)
@@ -229,6 +240,9 @@ class Synthesizer:
 
     def run(self, pastiche, styles, content=None, verbose: bool = False):
         """Full synthesis/transfer. Inputs are NHWC float32 jnp/np arrays."""
+        import os
+        timing = os.environ.get("OPTEX_TIMING") == "1"
+
         cfg = self.cfg
         pastiche = jnp.asarray(pastiche)
         styles = [jnp.asarray(s) for s in styles]
@@ -238,12 +252,17 @@ class Synthesizer:
             if verbose:
                 print(f"Pass {p}, size {self.sizes[p]}", flush=True)
             pass_key = jax.random.fold_in(self.key, p)
+            t0 = time.time()
             pastiche, targets = self.encode_inputs(
                 pastiche, styles, content, self.sizes[p], pass_key)
+            if timing:
+                jax.block_until_ready([pastiche] + [t.stats.cov_raw for t in targets])
+                print(f"  encode_inputs: {(time.time()-t0)*1000:.1f} ms", flush=True)
 
             for l, d in enumerate(self.layer_depths):
                 if verbose:
                     print(f"Layer: relu{d}_1", flush=True)
+                t0 = time.time()
                 n_iters = self.iters_table[p][l]
                 tgt = targets[l]
                 # content matching only at the 3 deepest of the 5 layers
@@ -271,6 +290,10 @@ class Synthesizer:
                         depth=d, n_iters=int(n_iters), mode=cfg.hist_mode,
                         strength=float(strength), use_pca=tgt.eigvecs is not None)
                 pastiche = pastiche.astype(jnp.float32)
+                if timing:
+                    pastiche.block_until_ready()
+                    print(f"  stage d={d} iters={n_iters}: "
+                          f"{(time.time()-t0)*1000:.1f} ms", flush=True)
 
         if cfg.color_transfer is not None:
             if content is None:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def random_rotation(key: jax.Array, n: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Haar-random special-orthogonal (n, n) matrix, det = +1."""
+    """Haar-random special-orthogonal (n, n) matrix, det = +1 (QR path)."""
     g = jax.random.normal(key, (n, n), dtype=jnp.float32)
     q, r = jnp.linalg.qr(g)
     d = jnp.diagonal(r)
@@ -28,3 +28,50 @@ def random_rotation(key: jax.Array, n: int, dtype=jnp.float32) -> jnp.ndarray:
     sign, _ = jnp.linalg.slogdet(q)
     q = q.at[:, -1].multiply(sign)
     return q.astype(dtype)
+
+
+_POLAR_ITERS = 30
+
+
+def random_rotations_polar(key: jax.Array, n_rot: int, n: int,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """(n_rot, n, n) Haar-random SO(n) matrices via Newton-Schulz polar
+    iteration — the MXU-native sampler.
+
+    The orthogonal polar factor of a Ginibre (iid normal) matrix is exactly
+    Haar-distributed on O(n) (polar decomposition G = Q P with Q, P
+    independent; O(n)-invariance of the Gaussian). The NS iteration
+    X <- 1.5 X - 0.5 X X^T X converges to that polar factor using ONLY
+    batched matmuls — unlike QR/Householder, whose sequential panel sweeps
+    dominate TPU latency. All n_rot rotations for a stage are produced in
+    one batched iteration, so per-step kernel latency amortizes across the
+    whole stage. det = +1 enforced by flipping the last column where
+    det < 0 (Haar on SO(n) conditional-flip construction, same as scipy's
+    intent at optex.py:142-149).
+
+    Convergence: X0 = G/||G||_F has singular values in (0, 1]; the linear
+    phase multiplies small singular values by 1.5 per step, so 30 iterations
+    cover sigma_min down to ~1e-5 — far below the ~1/sqrt(n) typical of
+    Gaussian matrices. Orthogonality error at convergence is f32 roundoff.
+    """
+    g = jax.random.normal(key, (n_rot, n, n), dtype=jnp.float32)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=(1, 2), keepdims=True))
+    x = g / norm
+
+    def body(_, x):
+        xtx = jnp.einsum("bij,bkj->bik", x, x, precision=jax.lax.Precision.HIGHEST)
+        return 1.5 * x - 0.5 * jnp.einsum(
+            "bij,bjk->bik", xtx, x, precision=jax.lax.Precision.HIGHEST)
+
+    x = jax.lax.fori_loop(0, _POLAR_ITERS, body, x)
+    sign, _ = jnp.linalg.slogdet(g)  # det(Q) sign == det(G) sign (P is PSD)
+    x = x.at[:, :, -1].multiply(sign[:, None])
+    return x.astype(dtype)
+
+
+def stage_rotations(key: jax.Array, n_iters: int, n: int) -> jnp.ndarray:
+    """The (n_iters, n, n) rotation stack used by every transport loop
+    (single-device, batch-DP, spatial) — one batched polar sampling per
+    stage. Centralized so all execution paths draw the identical stream for
+    a given key and the multi-chip paths stay bit-comparable."""
+    return random_rotations_polar(key, n_iters, n)

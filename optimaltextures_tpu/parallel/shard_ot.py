@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import transport
 from ..models.vgg import decode, encode
 from ..ops import histmatch
-from ..ops.rotation import random_rotation
+from ..ops.rotation import random_rotation, stage_rotations
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -109,9 +109,9 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
         return feature
 
     c = feature.shape[-1]
-    # batched rotation QR outside the loop (identical keys on every shard)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_iters))
-    rotations = jax.vmap(lambda k: random_rotation(k, c))(keys)
+    # same batched polar rotation stream as the single-device loop (identical
+    # key -> identical rotations on every shard, no broadcast needed)
+    rotations = stage_rotations(key, n_iters, c)
 
     def body(i, feat):
         rot = rotations[i]

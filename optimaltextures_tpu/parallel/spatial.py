@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models import arch
 from ..ops.convops import conv2d_nhwc, maxpool_2x2_ceil, upsample_nearest_2x
 from ..ops import histmatch
-from ..ops.rotation import random_rotation
+from ..ops.rotation import random_rotation, stage_rotations
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -95,8 +95,14 @@ def _global_moments(x: jnp.ndarray, axis: str):
 def ot_step_moment_spatial(key, feature, style_mu, style_cov_raw, mode: str,
                            axis: str, eps: float = 1.0):
     """One sliced-OT step on an H-sharded feature map (exact global stats)."""
+    rot = random_rotation(key, feature.shape[-1])
+    return _moment_step_spatial(rot, feature, style_mu, style_cov_raw, mode,
+                                axis, eps)
+
+
+def _moment_step_spatial(rot, feature, style_mu, style_cov_raw, mode: str,
+                         axis: str, eps: float = 1.0):
     c = feature.shape[-1]
-    rot = random_rotation(key, c)
     mu_t, xc, cov_t_raw = _global_moments(feature, axis)
     cov_t_rot = rot.T @ (cov_t_raw @ rot)
     cov_s_rot = rot.T @ (style_cov_raw @ rot)
@@ -124,11 +130,14 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
 
-        def body(i, f):
-            return ot_step_moment_spatial(jax.random.fold_in(key, i), f,
-                                          style_mu, style_cov_raw, mode, axis)
+        if n_iters:
+            rotations = stage_rotations(key, n_iters, feat.shape[-1])
 
-        feat = jax.lax.fori_loop(0, n_iters, body, feat) if n_iters else feat
+            def body(i, f):
+                return _moment_step_spatial(rotations[i], f, style_mu,
+                                            style_cov_raw, mode, axis)
+
+            feat = jax.lax.fori_loop(0, n_iters, body, feat)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
         return decode_spatial(dec_params, depth, feat, axis)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops import histmatch
-from .ops.rotation import random_rotation
+from .ops.rotation import random_rotation, stage_rotations
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -175,13 +175,11 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     if n_iters == 0:
         return feature
 
-    # Batch ALL the stage's rotation QRs into one vmapped decomposition
-    # outside the loop — XLA batches QR across the leading dim far better
-    # than n_iters sequential small QRs inside the loop body. Keys are
-    # fold_in(key, i), identical to sampling inside the loop.
+    # ALL the stage's rotations from one batched Newton-Schulz polar
+    # sampling — pure MXU matmuls, amortized across the whole stage (QR's
+    # sequential Householder sweeps are latency-bound on TPU).
     c = feature.shape[-1]
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_iters))
-    rotations = jax.vmap(lambda k: random_rotation(k, c))(keys)
+    rotations = stage_rotations(key, n_iters, c)
 
     def body(i, feat):
         rot = rotations[i]

@@ -100,3 +100,13 @@ def test_transport_loop_cdf_mode_runs(rng):
     out = np.asarray(transport.transport_loop(key, feat, stats, 10, "cdf"))
     assert np.isfinite(out).all()
     assert abs(out.mean() - 4.0) < 0.5
+
+
+def test_polar_rotations_are_special_orthogonal():
+    from optimaltextures_tpu.ops.rotation import random_rotations_polar
+
+    qs = np.asarray(random_rotations_polar(jax.random.key(7), 8, 64))
+    assert qs.shape == (8, 64, 64)
+    for q in qs:
+        np.testing.assert_allclose(q @ q.T, np.eye(64), atol=2e-4)
+        assert abs(np.linalg.det(q) - 1.0) < 1e-2
