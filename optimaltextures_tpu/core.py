@@ -37,7 +37,7 @@ import numpy as np
 from . import transport
 from .config import OptexConfig
 from .models import arch
-from .models.vgg import VGGBank, decode, encode
+from .models.vgg import VGGBank, decode, encode, encode_taps
 from .ops import colors, histmatch
 from .ops.resize import resize_nearest_nhwc, resize_nhwc
 from .utils import schedule
@@ -57,6 +57,80 @@ class LayerTargets(NamedTuple):
 @partial(jax.jit, static_argnames=("depth",))
 def _encode_jit(params, depth: int, img):
     return encode(params, depth, img)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _resize_jit(img, *, size):
+    return resize_nhwc(img, size)
+
+
+@partial(jax.jit, static_argnames=("depth", "use_pca"))
+def _style_spectra_pass_jit(enc_params, style_tens, *, depth: int, use_pca: bool):
+    """ONE fused program per pass: multi-tap style encode at every depth +
+    (optionally) each depth's PCA spectrum (scalar-mean centering, Gram GEMM,
+    eigh). Eigenvalues transfer to host (tiny); bases never leave the device.
+    Fusing matters twice over: the multi-tap encode halves the conv work vs
+    per-depth truncated encoders, and the 1-core host pays ~ms per dispatch,
+    so a pass's style prep is one program instead of dozens of eager ops.
+
+    Returns [(sf, s_vals, v)] ordered deepest-first (layer-loop order)."""
+    per_style = [encode_taps(enc_params, depth, s) for s in style_tens]
+    out = []
+    for d in range(depth, 0, -1):
+        sf = jnp.concatenate([t[d - 1] for t in per_style],
+                             axis=0).astype(jnp.float32)
+        if use_pca:
+            c = sf.shape[-1]
+            x = sf.reshape(-1, c) - sf.mean()
+            g = jnp.matmul(x.T, x, precision=jax.lax.Precision.HIGHEST)
+            eva, eve = jnp.linalg.eigh(g)
+            s_vals = jnp.sqrt(jnp.maximum(eva[::-1], 0.0))
+            out.append((sf, s_vals, eve[:, ::-1]))
+        else:
+            out.append((sf, None, None))
+    return out
+
+
+@partial(jax.jit, static_argnames=("ks", "need_samples"))
+def _style_stats_pass_jit(sfs, vs, *, ks, need_samples: bool):
+    """Project every depth onto its first k PCs (ks chosen on host) and
+    compute transport statistics — one fused program per pass.
+    Returns [(sf_projected, eigvecs, stats, premix scalar mean)]."""
+    out = []
+    for sf, v, k in zip(sfs, vs, ks):
+        eigvecs = None
+        if k:
+            eigvecs = v[:, :k]
+            sf = jnp.matmul(sf, eigvecs, precision=jax.lax.Precision.HIGHEST)
+        mu, cov = histmatch.moment_stats(sf)
+        samples = sf.reshape(-1, sf.shape[-1]) if need_samples else None
+        out.append((sf, eigvecs, transport.StyleStats(mu, cov, samples),
+                    sf.mean()))
+    return out
+
+
+@partial(jax.jit, static_argnames=("depth", "use_pca"))
+def _content_prep_pass_jit(enc_params, cont, eigvecs_list, style_means,
+                           *, depth: int, use_pca: bool):
+    """Multi-tap content encode + per-depth projection into style PC space +
+    re-centering at the style's scalar mean (optex.py:71-77), one program."""
+    taps = encode_taps(enc_params, depth, cont)
+    out = []
+    for i, d in enumerate(range(depth, 0, -1)):
+        cf = taps[d - 1].astype(jnp.float32)
+        if use_pca:
+            cf = jnp.matmul(cf, eigvecs_list[i],
+                            precision=jax.lax.Precision.HIGHEST)
+        out.append(cf - cf.mean() + style_means[i])
+    return out
+
+
+@partial(jax.jit, static_argnames=("need_samples",))
+def _restat_jit(sf, *, need_samples: bool):
+    """Recompute transport statistics after mixing."""
+    mu, cov = histmatch.moment_stats(sf)
+    samples = sf.reshape(-1, sf.shape[-1]) if need_samples else None
+    return transport.StyleStats(mu, cov, samples)
 
 
 @partial(jax.jit, static_argnames=("depth", "n_iters", "mode", "strength", "use_pca"),
@@ -152,88 +226,78 @@ class Synthesizer:
 
     def encode_inputs(self, pastiche, styles, content, size: int, pass_key):
         """Per-pass target preparation (optex.py:45-79): resize inputs, encode
-        styles at every depth, fit PCA, project + re-center content."""
+        styles at every depth, fit PCA, project + re-center content.
+
+        Dispatch discipline: everything runs as a few fused jit programs per
+        depth; ALL depths' spectra are dispatched before the first host sync
+        so the k-decisions drain the pipeline once, not three times.
+        """
         cfg = self.cfg
+        use_pca = not cfg.no_pca
         # resize gate replicated exactly: skip when EITHER dim already matches
         if pastiche.shape[1] != size and pastiche.shape[2] != size:
-            style_tens = [
-                resize_nhwc(s, schedule.get_size(size, cfg.style_scale,
-                                                 s.shape[1], s.shape[2]))
+            style_tens = tuple(
+                _resize_jit(s, size=schedule.get_size(size, cfg.style_scale,
+                                                      s.shape[1], s.shape[2]))
                 for s in styles
-            ]
+            )
             if content is not None:
                 cont_size = schedule.get_size(size, 1.0, content.shape[1],
                                               content.shape[2], oversize=True)
-                cont = resize_nhwc(content, cont_size)
+                cont = _resize_jit(content, size=cont_size)
             else:
                 cont_size = (size, size)
                 cont = None
-            pastiche = resize_nhwc(pastiche, cont_size)
+            pastiche = _resize_jit(pastiche, size=cont_size)
         else:
-            style_tens = styles
+            style_tens = tuple(styles)
             cont = content
 
-        import os
-        timing = os.environ.get("OPTEX_TIMING") == "1"
-
         need_samples = cfg.hist_mode in ("cdf", "sort")
-        targets: List[LayerTargets] = []
-        raw_style_feats: List[jnp.ndarray] = []
-        eigvecs_list: List[Optional[jnp.ndarray]] = []
-        for l, d in enumerate(self.layer_depths):
-            t0 = time.time()
-            enc = self.bank.enc_params[d]
-            sf = jnp.concatenate([_encode_jit(enc, d, s) for s in style_tens], axis=0)
-            sf = sf.astype(jnp.float32)
-            if timing:
-                sf.block_until_ready()
-                t1 = time.time()
 
-            eigvecs = None
-            if not cfg.no_pca:
-                s_vals, v = transport.pca_spectrum(sf)
-                k = transport.choose_k(np.asarray(s_vals))  # host decision
-                eigvecs = v[:, :k]
-                sf = jnp.matmul(sf, eigvecs, precision=jax.lax.Precision.HIGHEST)
-            raw_style_feats.append(sf)
-            eigvecs_list.append(eigvecs)
-            if timing:
-                sf.block_until_ready()
-                print(f"    prep d={d}: style-encode {(t1-t0)*1000:.1f} ms, "
-                      f"pca {(time.time()-t1)*1000:.1f} ms", flush=True)
+        # phase 1: dispatch the whole pass's style encode+spectra (one program)
+        spectra = _style_spectra_pass_jit(
+            self.bank.enc_params[self.depth], style_tens,
+            depth=self.depth, use_pca=use_pca)
 
-        # content re-centering uses the PRE-mix style means: the reference's
-        # encode_inputs computes them before mixing runs (optex.py:76 vs 97)
-        premix_means = [sf.mean() for sf in raw_style_feats]
+        # phase 2: one host drain for all k decisions, then one fused stats
+        # program for the pass
+        ks = tuple(
+            transport.choose_k(np.asarray(s_vals)) if use_pca else 0
+            for (_, s_vals, _) in spectra)
+        prepared = _style_stats_pass_jit(
+            tuple(sf for (sf, _, _) in spectra),
+            tuple(v for (_, _, v) in spectra),
+            ks=ks, need_samples=need_samples)
 
         # two-style mixing happens on the (projected) feature maps, once per
-        # pass, before moments are taken (optex.py:97-101)
+        # pass, before moments are taken (optex.py:97-101); content
+        # re-centering uses the PRE-mix means (optex.py:76 vs 97)
         if len(style_tens) > 1:
-            mask_pos = 1 if len(raw_style_feats) > 1 else 0
-            hw = raw_style_feats[mask_pos].shape[1:3]
+            mask_pos = 1 if len(prepared) > 1 else 0
+            hw = prepared[mask_pos][0].shape[1:3]
             u = jax.random.uniform(jax.random.fold_in(pass_key, 7919), hw)
             mask = jnp.ceil(u - cfg.mixing_alpha)[None, :, :, None]
-            mixed = []
-            for sf in raw_style_feats:
+            remixed = []
+            for (sf, eigvecs, stats, mean) in prepared:
                 m = resize_nearest_nhwc(mask, sf.shape[1:3])
-                mixed.append(_mix_pair_jit(sf[0:1], sf[1:2], m,
-                                           mode=cfg.hist_mode, alpha=cfg.mixing_alpha))
-            raw_style_feats = mixed
+                sf = _mix_pair_jit(sf[0:1], sf[1:2], m,
+                                   mode=cfg.hist_mode, alpha=cfg.mixing_alpha)
+                remixed.append((sf, eigvecs,
+                                _restat_jit(sf, need_samples=need_samples), mean))
+            prepared = remixed
 
-        for l, d in enumerate(self.layer_depths):
-            sf = raw_style_feats[l]
-            eigvecs = eigvecs_list[l]
-            cf = None
-            if cont is not None:
-                cf = _encode_jit(self.bank.enc_params[d], d, cont).astype(jnp.float32)
-                if eigvecs is not None:
-                    cf = jnp.matmul(cf, eigvecs, precision=jax.lax.Precision.HIGHEST)
-                # center content features at the style features' scalar mean
-                cf = cf - cf.mean() + premix_means[l]
-            targets.append(LayerTargets(
-                stats=transport.style_stats(sf, need_samples),
-                eigvecs=eigvecs, content=cf))
+        content_feats = [None] * len(prepared)
+        if cont is not None:
+            content_feats = _content_prep_pass_jit(
+                self.bank.enc_params[self.depth], cont,
+                tuple(p[1] for p in prepared), tuple(p[3] for p in prepared),
+                depth=self.depth, use_pca=use_pca)
 
+        targets = [
+            LayerTargets(stats=stats, eigvecs=eigvecs, content=cf)
+            for (sf, eigvecs, stats, _), cf in zip(prepared, content_feats)
+        ]
         return pastiche, targets
 
     # -- main loop -------------------------------------------------------------

@@ -42,6 +42,32 @@ def encode(params, depth: int, image: jnp.ndarray) -> jnp.ndarray:
     return _run_stack(params, arch.encoder_specs(depth), image)
 
 
+def encode_taps(params, depth: int, image: jnp.ndarray):
+    """NHWC image -> [relu1_1, ..., relu{depth}_1] in ONE forward pass.
+
+    The depth-d encoder computes every shallower relu{i}_1 as an
+    intermediate; tapping them halves the style/content encoding work vs
+    running d separate truncated encoders (which is what the reference does,
+    optex.py:62-63 — one Encoder per depth, shared prefixes recomputed).
+    ``params`` must be the depth-``depth`` encoder parameters.
+    """
+    specs = arch.encoder_specs(depth)
+    tap_after = {arch._ENCODER_LEN[d] - 1: d for d in range(1, depth + 1)}
+    taps = []
+    x = image
+    for i, ((w, b), (_, _, k, pre, post)) in enumerate(zip(params, specs)):
+        if pre == "pool":
+            x = maxpool_2x2_ceil(x)
+        if k == 3:
+            x = reflect_pad(x, 1)
+        x = conv2d_nhwc(x, w, b)
+        if post == "relu":
+            x = jax.nn.relu(x)
+        if i in tap_after:
+            taps.append(x)
+    return taps
+
+
 def decode(params, depth: int, feature: jnp.ndarray) -> jnp.ndarray:
     """relu{depth}_1 NHWC features -> NHWC image (unclamped, like the
     reference's final conv with no activation, ``vgg.py:130-134``)."""

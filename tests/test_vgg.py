@@ -100,3 +100,22 @@ def test_odd_size_ceil_pool(rng):
                             jnp.asarray(img)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("depth", [max(HAVE)] if HAVE else [])
+def test_encode_taps_matches_separate_encodes(depth, rng):
+    """Multi-tap encode must produce exactly the per-depth truncated
+    encoders' outputs (same weights, same op sequence prefix)."""
+    from optimaltextures_tpu.models.vgg import encode_taps
+
+    img = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    deep_params = [(jnp.asarray(w), jnp.asarray(b))
+                   for w, b in weights.load_encoder_params(depth)]
+    taps = encode_taps(deep_params, depth, img)
+    assert len(taps) == depth
+    for d in range(1, depth + 1):
+        params_d = [(jnp.asarray(w), jnp.asarray(b))
+                    for w, b in weights.load_encoder_params(d)]
+        ref = encode(params_d, d, img)
+        np.testing.assert_allclose(np.asarray(taps[d - 1]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
