@@ -133,22 +133,29 @@ def _restat_jit(sf, *, need_samples: bool):
     return transport.StyleStats(mu, cov, samples)
 
 
-@partial(jax.jit, static_argnames=("depth", "n_iters", "mode", "strength", "use_pca"),
+@partial(jax.jit,
+         static_argnames=("depths", "iters", "mode", "strengths", "pca_flags"),
          donate_argnums=(2,))
-def _stage_jit(enc_params, dec_params, pastiche, stats, eigvecs, content_feat,
-               key, *, depth: int, n_iters: int, mode: str, strength: float,
-               use_pca: bool):
-    """One (pass, layer) stage: encode -> project -> OT loop -> unproject ->
-    decode, all in one XLA program."""
-    feat = encode(enc_params, depth, pastiche)
-    if use_pca:
-        feat = jnp.matmul(feat, eigvecs, precision=jax.lax.Precision.HIGHEST)
-    feat = transport.transport_loop(
-        key, feat, stats, n_iters, mode,
-        content_feature=content_feat, content_strength=strength)
-    if use_pca:
-        feat = jnp.matmul(feat, eigvecs.T, precision=jax.lax.Precision.HIGHEST)
-    return decode(dec_params, depth, feat)
+def _pass_stages_jit(enc_params, dec_params, pastiche, targets, key, *,
+                     depths, iters, mode: str, strengths, pca_flags):
+    """ALL of a pass's layer stages in ONE program: for each depth (deepest
+    first) encode -> project -> OT loop -> unproject -> decode, the decoded
+    image feeding the next stage directly on-device. One dispatch per pass
+    instead of one per (pass, layer) — on this host, dispatch gaps between
+    stages were a measurable slice of wall time."""
+    for i, d in enumerate(depths):
+        feat = encode(enc_params[i], d, pastiche).astype(jnp.float32)
+        if pca_flags[i]:
+            feat = jnp.matmul(feat, targets[i].eigvecs,
+                              precision=jax.lax.Precision.HIGHEST)
+        feat = transport.transport_loop(
+            jax.random.fold_in(key, i), feat, targets[i].stats, iters[i], mode,
+            content_feature=targets[i].content, content_strength=strengths[i])
+        if pca_flags[i]:
+            feat = jnp.matmul(feat, targets[i].eigvecs.T,
+                              precision=jax.lax.Precision.HIGHEST)
+        pastiche = decode(dec_params[i], d, feat.astype(pastiche.dtype))
+    return pastiche
 
 
 @partial(jax.jit, static_argnames=("mode", "alpha"))
@@ -323,41 +330,53 @@ class Synthesizer:
                 jax.block_until_ready([pastiche] + [t.stats.cov_raw for t in targets])
                 print(f"  encode_inputs: {(time.time()-t0)*1000:.1f} ms", flush=True)
 
-            for l, d in enumerate(self.layer_depths):
-                if verbose:
-                    print(f"Layer: relu{d}_1", flush=True)
-                t0 = time.time()
-                n_iters = self.iters_table[p][l]
-                tgt = targets[l]
-                # content matching only at the 3 deepest of the 5 layers
-                # (optex.py:115-117: l <= 2), with depth-dependent strength
-                # 1/16, 1/8, 1/4 of content_strength
+            # content matching only at the 3 deepest of the 5 layers
+            # (optex.py:115-117: l <= 2), with depth-dependent strength
+            # 1/16, 1/8, 1/4 of content_strength
+            adj = []
+            strengths = []
+            for l, tgt in enumerate(targets):
                 has_content = tgt.content is not None and l <= 2
-                strength = cfg.content_strength / 2 ** (4 - l) if has_content else 0.0
-                stage_key = jax.random.fold_in(pass_key, l)
-                conv_dtype = self.bank.enc_params[d][0][0].dtype
-                if self.mesh is not None and content is None:
-                    stage = self._dp_stage(d, int(n_iters), float(strength),
-                                           tgt.eigvecs is not None)
+                adj.append(tgt if has_content else
+                           LayerTargets(tgt.stats, tgt.eigvecs, None))
+                strengths.append(
+                    float(cfg.content_strength / 2 ** (4 - l)) if has_content
+                    else 0.0)
+
+            if self.mesh is not None and content is None:
+                # DP path: per-layer sharded stages (collectives per stage)
+                for l, d in enumerate(self.layer_depths):
+                    if verbose:
+                        print(f"Layer: relu{d}_1", flush=True)
+                    tgt = adj[l]
+                    conv_dtype = self.bank.enc_params[d][0][0].dtype
+                    stage = self._dp_stage(d, int(self.iters_table[p][l]),
+                                           strengths[l], tgt.eigvecs is not None)
                     pastiche = stage(
                         self.bank.enc_params[d], self.bank.dec_params[d],
                         self._dp_shard(pastiche.astype(conv_dtype)),
                         tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
-                        tgt.eigvecs, None, stage_key)
-                else:
-                    pastiche = _stage_jit(
-                        self.bank.enc_params[d], self.bank.dec_params[d],
-                        pastiche.astype(conv_dtype),
-                        tgt.stats, tgt.eigvecs,
-                        tgt.content if has_content else None,
-                        stage_key,
-                        depth=d, n_iters=int(n_iters), mode=cfg.hist_mode,
-                        strength=float(strength), use_pca=tgt.eigvecs is not None)
+                        tgt.eigvecs, None, jax.random.fold_in(pass_key, l))
+                    pastiche = pastiche.astype(jnp.float32)
+            else:
+                if verbose:
+                    for d in self.layer_depths:
+                        print(f"Layer: relu{d}_1", flush=True)
+                t0 = time.time()
+                conv_dtype = self.bank.enc_params[self.depth][0][0].dtype
+                pastiche = _pass_stages_jit(
+                    tuple(self.bank.enc_params[d] for d in self.layer_depths),
+                    tuple(self.bank.dec_params[d] for d in self.layer_depths),
+                    pastiche.astype(conv_dtype), tuple(adj), pass_key,
+                    depths=tuple(self.layer_depths),
+                    iters=tuple(int(i) for i in self.iters_table[p]),
+                    mode=cfg.hist_mode, strengths=tuple(strengths),
+                    pca_flags=tuple(t.eigvecs is not None for t in adj))
                 pastiche = pastiche.astype(jnp.float32)
                 if timing:
                     pastiche.block_until_ready()
-                    print(f"  stage d={d} iters={n_iters}: "
-                          f"{(time.time()-t0)*1000:.1f} ms", flush=True)
+                    print(f"  pass stages: {(time.time()-t0)*1000:.1f} ms",
+                          flush=True)
 
         if cfg.color_transfer is not None:
             if content is None:
