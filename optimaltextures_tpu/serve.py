@@ -1,0 +1,182 @@
+"""Minimal production serving layer.
+
+Exposes the four modes over HTTP with warm jit caches: the first request for
+a given (size, passes, iters, mode, ...) signature compiles; subsequent
+requests reuse the cached ``Synthesizer`` (and XLA's persistent compilation
+cache makes even cold processes cheap). Requests serialize through a lock —
+one accelerator, one compute stream.
+
+    python -m optimaltextures_tpu.serve --port 8700
+
+    POST /v1/synthesize
+      {"config": {"size": 256, "iters": 100, ...},
+       "style_b64": ["<base64 png/jpg>", ...],   # 1 or 2
+       "content_b64": "<base64 png/jpg>"}        # optional
+    -> 200 image/png (the synthesized pastiche)
+
+    GET /healthz -> {"status": "ok", "devices": [...], "cached": N}
+
+The reference has no serving story (a CLI script only); this is a framework
+addition.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .config import OptexConfig
+
+_CONFIG_FIELDS = {
+    "size", "passes", "iters", "hist_mode", "color_transfer",
+    "content_strength", "style_scale", "mixing_alpha", "no_pca",
+    "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
+}
+
+
+class SynthesizerPool:
+    """Warm Synthesizer cache keyed by the jit-relevant config signature."""
+
+    def __init__(self):
+        self._cache = {}
+        self.lock = threading.Lock()
+
+    def _sig(self, cfg: OptexConfig):
+        d = dataclasses.asdict(cfg)
+        d.pop("style"), d.pop("content"), d.pop("output_dir")
+        return tuple(sorted((k, repr(v)) for k, v in d.items()))
+
+    def get(self, cfg: OptexConfig):
+        from . import core  # deferred: keep module import light
+
+        sig = self._sig(cfg)
+        if sig not in self._cache:
+            self._cache[sig] = core.Synthesizer(cfg)
+        return self._cache[sig]
+
+    def __len__(self):
+        return len(self._cache)
+
+
+def _decode_image(b64: str, size: int, oversize: bool) -> np.ndarray:
+    from PIL import Image
+
+    from .utils import schedule
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    w0, h0 = img.size
+    tw, th = schedule.get_size(size, 1.0, w0, h0, oversize)
+    img = img.resize((tw, th), Image.LANCZOS)
+    return (np.asarray(img, dtype=np.float32) / 255.0)[None]
+
+
+def handle_synthesize(pool: SynthesizerPool, payload: dict) -> bytes:
+    """Run one request; returns PNG bytes. Raises ValueError on bad input."""
+    cfg_args = {k: v for k, v in payload.get("config", {}).items()
+                if k in _CONFIG_FIELDS}
+    cfg = OptexConfig(**cfg_args).validate()
+
+    styles_b64 = payload.get("style_b64") or []
+    if not 1 <= len(styles_b64) <= 2:
+        raise ValueError("style_b64 must contain 1 or 2 images")
+    styles = [_decode_image(b, cfg.size, oversize=True) for b in styles_b64]
+    if len(styles) > 1 and styles[0].shape != styles[1].shape:
+        raise ValueError("style images must load to the same shape")
+    content = None
+    if payload.get("content_b64"):
+        content = _decode_image(payload["content_b64"], cfg.size, oversize=False)
+
+    with pool.lock:
+        import jax
+        import jax.numpy as jnp
+
+        synth = pool.get(cfg)
+        if content is not None:
+            shape = content.shape
+        else:
+            shape = (cfg.batch, cfg.size, cfg.size, 3)
+        noise = jax.random.uniform(jax.random.fold_in(synth.key, 999), shape,
+                                   dtype=jnp.float32)
+        out = synth.run(noise, [jnp.asarray(s) for s in styles],
+                        jnp.asarray(content) if content is not None else None)
+        arr = np.clip(np.asarray(out)[0], 0.0, 1.0)
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def make_handler(pool: SynthesizerPool):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._json(200, {"status": "ok",
+                                 "devices": [str(d) for d in jax.devices()],
+                                 "cached": len(pool)})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                png = handle_synthesize(pool, payload)
+            except (ValueError, TypeError, KeyError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return Handler
+
+
+def serve(port: int = 8700, host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    pool = SynthesizerPool()
+    server = ThreadingHTTPServer((host, port), make_handler(pool))
+    return server
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    args = p.parse_args()
+    server = serve(args.port, args.host)
+    print(f"optex-tpu serving on http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
