@@ -37,7 +37,8 @@ def main() -> None:
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     cfg = OptexConfig(size=size, style=["/root/reference/style/graffiti.jpg"],
-                      seed=0)
+                      seed=0,
+                      conv_dtype=os.environ.get("BENCH_CONV_DTYPE", "float32"))
     styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
 
     synth = core.Synthesizer(cfg)

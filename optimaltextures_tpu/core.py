@@ -74,7 +74,9 @@ def _style_spectra_pass_jit(enc_params, style_tens, *, depth: int, use_pca: bool
     so a pass's style prep is one program instead of dozens of eager ops.
 
     Returns [(sf, s_vals, v)] ordered deepest-first (layer-loop order)."""
-    per_style = [encode_taps(enc_params, depth, s) for s in style_tens]
+    conv_dtype = enc_params[0][0].dtype
+    per_style = [encode_taps(enc_params, depth, s.astype(conv_dtype))
+                 for s in style_tens]
     out = []
     for d in range(depth, 0, -1):
         sf = jnp.concatenate([t[d - 1] for t in per_style],
@@ -114,7 +116,7 @@ def _content_prep_pass_jit(enc_params, cont, eigvecs_list, style_means,
                            *, depth: int, use_pca: bool):
     """Multi-tap content encode + per-depth projection into style PC space +
     re-centering at the style's scalar mean (optex.py:71-77), one program."""
-    taps = encode_taps(enc_params, depth, cont)
+    taps = encode_taps(enc_params, depth, cont.astype(enc_params[0][0].dtype))
     out = []
     for i, d in enumerate(range(depth, 0, -1)):
         cf = taps[d - 1].astype(jnp.float32)
