@@ -211,7 +211,10 @@ def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS,
     t = target.reshape(-1, c).T  # (C, Nt)
     s = source.reshape(-1, c).T  # (C, Ns)
     if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        import os
+
+        use_pallas = (jax.default_backend() in ("tpu", "axon")
+                      and os.environ.get("OPTEX_NO_PALLAS") != "1")
     if use_pallas and bins == BINS:
         from .pallas.histogram import batched_histogram
 
