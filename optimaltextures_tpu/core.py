@@ -317,7 +317,11 @@ class Synthesizer:
         timing = os.environ.get("OPTEX_TIMING") == "1"
 
         cfg = self.cfg
-        pastiche = jnp.asarray(pastiche)
+        # copy the pastiche: the stage programs donate their input buffer, and
+        # when the resize gate skips (entry size == pass size) the caller's
+        # array would reach the donated argument directly — a second run with
+        # the same array would then hit an invalidated buffer
+        pastiche = jnp.array(pastiche, copy=True)
         styles = [jnp.asarray(s) for s in styles]
         content = jnp.asarray(content) if content is not None else None
 

@@ -117,3 +117,22 @@ def test_no_pca_mode():
     styles = [load(STYLE)]
     out, _ = core.synthesize(cfg, styles)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_run_twice_with_same_input_array():
+    """Stage programs donate their input buffer; run() must defensively copy
+    so a caller can reuse the same pastiche array across runs (regression:
+    gate-skip configs handed the caller's array to the donated argument and
+    the second run hit an invalidated buffer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimaltextures_tpu.core import Synthesizer
+
+    cfg = tiny_cfg(iters=2)
+    styles = [jnp.asarray(load(STYLE))]
+    synth = Synthesizer(cfg)
+    noise = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
+    a = synth.run(noise, styles)
+    b = synth.run(noise, styles)  # same array again — must not fault
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
