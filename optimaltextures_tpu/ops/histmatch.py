@@ -216,14 +216,14 @@ def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS,
         use_pallas = (jax.default_backend() in ("tpu", "axon")
                       and os.environ.get("OPTEX_NO_PALLAS") != "1")
     if use_pallas and bins == BINS:
+        from .pallas.cdf_remap import cdf_remap
         from .pallas.histogram import batched_histogram
 
         lo = jnp.minimum(t.min(axis=1), s.min(axis=1))
         hi = jnp.maximum(t.max(axis=1), s.max(axis=1))
         t_hist = batched_histogram(t, lo, hi)
         s_hist = batched_histogram(s, lo, hi)
-        matched = jax.vmap(partial(_cdf_apply_channel, bins=bins))(
-            t, t_hist, s_hist, lo, hi)
+        matched = cdf_remap(t, t_hist, s_hist, lo, hi)
     else:
         matched = jax.vmap(partial(_cdf_match_channel, bins=bins))(t, s)
     return matched.T.reshape(bt, h, w, c)
