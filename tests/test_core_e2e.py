@@ -27,6 +27,10 @@ def load(path, size=64):
     return imageio.load_image(path, size, oversize=False)
 
 
+def imageio_load(path, size=96):
+    return imageio.load_image(path, size, oversize=True)
+
+
 def test_synthesis_runs_and_matches_style_stats():
     cfg = tiny_cfg(iters=16)
     styles = [load(STYLE)]
@@ -136,3 +140,21 @@ def test_run_twice_with_same_input_array():
     a = synth.run(noise, styles)
     b = synth.run(noise, styles)  # same array again — must not fault
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_style_scale_path():
+    """style_scale changes the per-pass style resize (detail scale)."""
+    cfg = tiny_cfg(style_scale=0.5, iters=4, size=96, no_multires=False, passes=2)
+    styles = [imageio_load(STYLE)]
+    out, _ = core.synthesize(cfg, styles)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mixing_with_content():
+    """Two styles + content (the reference's xo/graffiti/bridge combo)."""
+    a, b = load(STYLE), load(STYLE2)
+    h = min(a.shape[1], b.shape[1]); w = min(a.shape[2], b.shape[2])
+    cfg = tiny_cfg(style=[STYLE, STYLE2], content=CONTENT,
+                   content_strength=0.1, iters=4)
+    out, _ = core.synthesize(cfg, [a[:, :h, :w], b[:, :h, :w]], load(CONTENT))
+    assert np.isfinite(np.asarray(out)).all()
