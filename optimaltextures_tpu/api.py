@@ -9,7 +9,7 @@ loading/saving, mirroring the four CLI modes of the reference
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ import numpy as np
 
 from . import transport
 from .config import OptexConfig
-from .models import arch
+
 from .models.vgg import VGGBank, decode, encode, encode_taps
 from .ops import colors, histmatch
 from .ops.resize import resize_nearest_nhwc, resize_nhwc

@@ -21,8 +21,6 @@ This module provides the halo-exchange conv stack and a fully sharded
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
