@@ -38,6 +38,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/baselines")
     ap.add_argument("--only", default=None, help="comma-separated config keys")
+    ap.add_argument("--steady", action="store_true",
+                    help="run each config twice and report the second "
+                         "(in-process steady state, no compile/cache-load)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +60,8 @@ def main() -> None:
         cfg = OptexConfig(seed=0, output_dir=args.out, **kw)
         try:
             out, seconds, paths = api.run_files(cfg)
+            if args.steady:
+                out, seconds, paths = api.run_files(cfg)
             results[name] = {"seconds": round(seconds, 3),
                              "shape": list(out.shape), "outputs": paths}
             print(f"{name}: {seconds:.2f}s -> {paths}", flush=True)
