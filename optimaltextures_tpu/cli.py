@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=1,
                    help="shard --batch synthesis over this many chips "
                         "(exact joint statistics via ICI collectives)")
+    p.add_argument("--spatial_devices", type=int, default=1,
+                   help="shard ONE image's height axis over this many chips "
+                        "(halo-exchange convs; moment modes, synthesis only)")
     p.add_argument("--conv_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv stack compute dtype (bfloat16 = faster MXU)")

@@ -41,8 +41,12 @@ class OptexConfig:
     # Compute dtype for the conv encode/decode stacks. The OT statistics
     # (covariance, cholesky/eigh, CDFs) always run in float32.
     conv_dtype: str = "float32"       # float32 | bfloat16
-    # Number of devices to shard the sample axis / batch over (1 = single chip).
+    # Number of devices to shard the batch over (1 = single chip).
     num_devices: int = 1
+    # Number of devices to shard ONE image's height axis over (halo-exchange
+    # convs + sequence-parallel OT). Synthesis with moment modes only;
+    # mutually exclusive with num_devices > 1.
+    spatial_devices: int = 1
     # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
     use_pallas: bool = True
 
@@ -63,4 +67,14 @@ class OptexConfig:
             raise ValueError("passes/iters/size/batch out of range")
         if self.conv_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
+        if self.spatial_devices > 1:
+            if self.num_devices > 1:
+                raise ValueError("num_devices and spatial_devices are mutually "
+                                 "exclusive")
+            if self.hist_mode not in ("chol", "pca", "sym"):
+                raise ValueError("spatial sharding supports the moment modes "
+                                 "(chol|pca|sym) only")
+            if self.batch != 1:
+                raise ValueError("spatial sharding runs a single image "
+                                 "(batch must be 1)")
         return self

@@ -216,6 +216,17 @@ class Synthesizer:
                     f"{cfg.num_devices}")
             self.mesh = make_mesh(cfg.num_devices)
 
+        # spatial (H-axis) sharding of one image across chips
+        self.space_mesh = None
+        self._sp_stages = {}
+        if cfg.spatial_devices > 1:
+            from .parallel.mesh import make_mesh
+            from .parallel.spatial import check_spatial_divisibility
+
+            for size in self.sizes:
+                check_spatial_divisibility(size, cfg.spatial_devices, self.depth)
+            self.space_mesh = make_mesh(cfg.spatial_devices, axis="space")
+
     def _dp_stage(self, depth: int, n_iters: int, strength: float, use_pca: bool):
         from .parallel.shard_ot import make_sharded_stage
 
@@ -230,6 +241,22 @@ class Synthesizer:
         from .parallel.mesh import batch_sharding
 
         return jax.device_put(pastiche, batch_sharding(self.mesh))
+
+    def _sp_stage(self, depth: int, n_iters: int, use_pca: bool):
+        from .parallel.spatial import make_spatial_stage
+
+        key = (depth, n_iters, use_pca)
+        if key not in self._sp_stages:
+            self._sp_stages[key] = make_spatial_stage(
+                self.space_mesh, depth=depth, n_iters=n_iters,
+                mode=self.cfg.hist_mode, use_pca=use_pca)
+        return self._sp_stages[key]
+
+    def _sp_shard(self, pastiche):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            pastiche, NamedSharding(self.space_mesh, P(None, "space", None, None)))
 
     # -- input preparation ----------------------------------------------------
 
@@ -363,6 +390,22 @@ class Synthesizer:
                         self._dp_shard(pastiche.astype(conv_dtype)),
                         tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
                         tgt.eigvecs, None, jax.random.fold_in(pass_key, l))
+                    pastiche = pastiche.astype(jnp.float32)
+            elif self.space_mesh is not None and content is None:
+                # SP path: one image's H axis sharded; halo-exchange convs +
+                # sequence-parallel OT (exact global moments via psum)
+                for l, d in enumerate(self.layer_depths):
+                    if verbose:
+                        print(f"Layer: relu{d}_1", flush=True)
+                    tgt = adj[l]
+                    conv_dtype = self.bank.enc_params[d][0][0].dtype
+                    stage = self._sp_stage(d, int(self.iters_table[p][l]),
+                                           tgt.eigvecs is not None)
+                    pastiche = stage(
+                        self.bank.enc_params[d], self.bank.dec_params[d],
+                        self._sp_shard(pastiche.astype(conv_dtype)),
+                        tgt.stats.mu, tgt.stats.cov_raw, tgt.eigvecs,
+                        jax.random.fold_in(pass_key, l))
                     pastiche = pastiche.astype(jnp.float32)
             else:
                 if verbose:

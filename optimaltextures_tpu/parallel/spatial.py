@@ -125,6 +125,7 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
                     eigvecs, key):
         feat = encode_spatial(enc_params, depth, pastiche, axis)
+        feat = feat.astype(jnp.float32)  # OT statistics always in f32
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
 
@@ -138,12 +139,13 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
             feat = jax.lax.fori_loop(0, n_iters, body, feat)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
-        return decode_spatial(dec_params, depth, feat, axis)
+        return decode_spatial(dec_params, depth, feat.astype(pastiche.dtype),
+                              axis)
 
     fn = jax.shard_map(stage_local, mesh=mesh,
                        in_specs=(rep, rep, shard, rep, rep, rep, rep),
                        out_specs=shard)
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 def check_spatial_divisibility(h: int, n_devices: int, depth: int) -> None:

@@ -126,3 +126,30 @@ def test_spatial_divisibility_check():
     with pytest.raises(ValueError):
         spatial.check_spatial_divisibility(100, 8, 3)
     spatial.check_spatial_divisibility(256, 8, 3)
+
+
+def test_sp_e2e_matches_single_device(rng):
+    """Full pipeline with spatial_devices=8 equals the single-device run."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=6, no_multires=True, depth=2, seed=21,
+                style=["/root/reference/style/graffiti.jpg"])
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(OptexConfig(**base, spatial_devices=8), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sp_config_validation():
+    from optimaltextures_tpu.config import OptexConfig
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        OptexConfig(num_devices=2, spatial_devices=2, batch=2).validate()
+    with pytest.raises(ValueError, match="moment modes"):
+        OptexConfig(spatial_devices=2, hist_mode="cdf").validate()
+    with pytest.raises(ValueError, match="batch"):
+        OptexConfig(spatial_devices=2, batch=4).validate()
