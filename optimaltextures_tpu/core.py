@@ -260,47 +260,55 @@ class Synthesizer:
 
     # -- input preparation ----------------------------------------------------
 
-    def encode_inputs(self, pastiche, styles, content, size: int, pass_key):
-        """Per-pass target preparation (optex.py:45-79): resize inputs, encode
-        styles at every depth, fit PCA, project + re-center content.
+    def _plan_passes(self, pastiche_hw, content_hw):
+        """Static per-pass I/O plan replicating the reference's resize gate
+        (optex.py:47: skip when EITHER pastiche dim already equals the pass
+        size). The pastiche's shape chain is fully determined by the entry
+        shape, so the whole plan is host-side static — which lets style/
+        content preparation for ALL passes dispatch ahead of the stage chain.
 
-        Dispatch discipline: everything runs as a few fused jit programs per
-        depth; ALL depths' spectra are dispatched before the first host sync
-        so the k-decisions drain the pipeline once, not three times.
-        """
+        Returns [(size, resize?, cont_size)] where cont_size is the pastiche
+        target size when resizing (None otherwise)."""
+        plan = []
+        cur = pastiche_hw
+        for size in self.sizes:
+            if cur[0] != size and cur[1] != size:
+                if content_hw is not None:
+                    cont_size = schedule.get_size(size, 1.0, content_hw[0],
+                                                  content_hw[1], oversize=True)
+                else:
+                    cont_size = (size, size)
+                plan.append((size, True, cont_size))
+                cur = cont_size
+            else:
+                plan.append((size, False, None))
+        return plan
+
+    def _dispatch_pass_prep(self, styles, content, size: int, do_resize: bool,
+                            cont_size):
+        """Dispatch one pass's style resize + multi-tap encode + spectra and
+        the content resize — no host syncs."""
         cfg = self.cfg
-        use_pca = not cfg.no_pca
-        # resize gate replicated exactly: skip when EITHER dim already matches
-        if pastiche.shape[1] != size and pastiche.shape[2] != size:
+        if do_resize:
             style_tens = tuple(
                 _resize_jit(s, size=schedule.get_size(size, cfg.style_scale,
                                                       s.shape[1], s.shape[2]))
                 for s in styles
             )
-            if content is not None:
-                cont_size = schedule.get_size(size, 1.0, content.shape[1],
-                                              content.shape[2], oversize=True)
-                cont = _resize_jit(content, size=cont_size)
-            else:
-                cont_size = (size, size)
-                cont = None
-            pastiche = _resize_jit(pastiche, size=cont_size)
+            cont = (_resize_jit(content, size=cont_size)
+                    if content is not None else None)
         else:
             style_tens = tuple(styles)
             cont = content
-
-        need_samples = cfg.hist_mode in ("cdf", "sort")
-
-        # phase 1: dispatch the whole pass's style encode+spectra (one program)
         spectra = _style_spectra_pass_jit(
             self.bank.enc_params[self.depth], style_tens,
-            depth=self.depth, use_pca=use_pca)
+            depth=self.depth, use_pca=not cfg.no_pca)
+        return spectra, cont
 
-        # phase 2: one host drain for all k decisions, then one fused stats
-        # program for the pass
-        ks = tuple(
-            transport.choose_k(np.asarray(s_vals)) if use_pca else 0
-            for (_, s_vals, _) in spectra)
+    def _finish_pass_prep(self, spectra, cont, ks, pass_key, n_styles: int):
+        """After the k-decisions: fused stats, mixing, content prep."""
+        cfg = self.cfg
+        need_samples = cfg.hist_mode in ("cdf", "sort")
         prepared = _style_stats_pass_jit(
             tuple(sf for (sf, _, _) in spectra),
             tuple(v for (_, _, v) in spectra),
@@ -309,7 +317,7 @@ class Synthesizer:
         # two-style mixing happens on the (projected) feature maps, once per
         # pass, before moments are taken (optex.py:97-101); content
         # re-centering uses the PRE-mix means (optex.py:76 vs 97)
-        if len(style_tens) > 1:
+        if n_styles > 1:
             mask_pos = 1 if len(prepared) > 1 else 0
             hw = prepared[mask_pos][0].shape[1:3]
             u = jax.random.uniform(jax.random.fold_in(pass_key, 7919), hw)
@@ -328,13 +336,12 @@ class Synthesizer:
             content_feats = _content_prep_pass_jit(
                 self.bank.enc_params[self.depth], cont,
                 tuple(p[1] for p in prepared), tuple(p[3] for p in prepared),
-                depth=self.depth, use_pca=use_pca)
+                depth=self.depth, use_pca=not cfg.no_pca)
 
-        targets = [
+        return [
             LayerTargets(stats=stats, eigvecs=eigvecs, content=cf)
             for (sf, eigvecs, stats, _), cf in zip(prepared, content_feats)
         ]
-        return pastiche, targets
 
     # -- main loop -------------------------------------------------------------
 
@@ -351,17 +358,38 @@ class Synthesizer:
         pastiche = jnp.array(pastiche, copy=True)
         styles = [jnp.asarray(s) for s in styles]
         content = jnp.asarray(content) if content is not None else None
+        use_pca = not cfg.no_pca
+
+        # phase A: style/content prep for ALL passes dispatches up front (it
+        # depends only on the static size plan, never on the pastiche), so
+        # the k-decision sync drains the pipeline ONCE per run, not per pass
+        plan = self._plan_passes(
+            pastiche.shape[1:3],
+            content.shape[1:3] if content is not None else None)
+        preps = [self._dispatch_pass_prep(styles, content, size, rs, cs)
+                 for (size, rs, cs) in plan]
+
+        # phase B: one host drain for every pass's k decisions
+        kss = [
+            tuple(transport.choose_k(np.asarray(sv)) if use_pca else 0
+                  for (_, sv, _) in spectra)
+            for (spectra, _) in preps
+        ]
 
         for p in range(cfg.passes):
             if verbose:
                 print(f"Pass {p}, size {self.sizes[p]}", flush=True)
             pass_key = jax.random.fold_in(self.key, p)
             t0 = time.time()
-            pastiche, targets = self.encode_inputs(
-                pastiche, styles, content, self.sizes[p], pass_key)
+            spectra, cont = preps[p]
+            targets = self._finish_pass_prep(spectra, cont, kss[p], pass_key,
+                                             len(styles))
+            _, do_resize, cont_size = plan[p]
+            if do_resize:
+                pastiche = _resize_jit(pastiche, size=cont_size)
             if timing:
                 jax.block_until_ready([pastiche] + [t.stats.cov_raw for t in targets])
-                print(f"  encode_inputs: {(time.time()-t0)*1000:.1f} ms", flush=True)
+                print(f"  pass prep: {(time.time()-t0)*1000:.1f} ms", flush=True)
 
             # content matching only at the 3 deepest of the 5 layers
             # (optex.py:115-117: l <= 2), with depth-dependent strength
