@@ -49,6 +49,11 @@ class OptexConfig:
     spatial_devices: int = 1
     # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
     use_pallas: bool = True
+    # Round the PCA rank k UP to a multiple of this bucket (0 = exact k).
+    # Keeps program shapes stable across styles (compile-cache friendly);
+    # mathematically identical to exact-k: eigvecs are zero-padded and
+    # rotations drawn blockdiag(SO(k), I) so padded dims stay exactly zero.
+    pca_bucket: int = 0
 
     # --- I/O -----------------------------------------------------------------
     style: List[str] = dataclasses.field(default_factory=lambda: ["style/graffiti.jpg"])
@@ -67,6 +72,10 @@ class OptexConfig:
             raise ValueError("passes/iters/size/batch out of range")
         if self.conv_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
+        if self.pca_bucket < 0:
+            raise ValueError("pca_bucket must be >= 0")
+        if self.pca_bucket and (self.num_devices > 1 or self.spatial_devices > 1):
+            raise ValueError("pca_bucket is single-device only (for now)")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "

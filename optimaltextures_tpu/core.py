@@ -44,10 +44,11 @@ from .utils import schedule
 
 
 class LayerTargets(NamedTuple):
-    """Per-(pass, layer) transport targets prepared by encode_inputs."""
+    """Per-(pass, layer) transport targets prepared by the pass prep."""
     stats: transport.StyleStats            # style moments (+ samples for cdf)
     eigvecs: Optional[jnp.ndarray]         # (C, k) PCA basis or None
     content: Optional[jnp.ndarray]         # projected, re-centered content feats
+    k_mask: Optional[jnp.ndarray] = None   # traced true-k when pca_bucket > 0
 
 
 # ---------------------------------------------------------------------------
@@ -94,28 +95,43 @@ def _style_spectra_pass_jit(enc_params, style_tens, *, depth: int, use_pca: bool
 
 
 @partial(jax.jit, static_argnames=("ks", "need_samples"))
-def _style_stats_pass_jit(sfs, vs, *, ks, need_samples: bool):
+def _style_stats_pass_jit(sfs, vs, true_ks, *, ks, need_samples: bool):
     """Project every depth onto its first k PCs (ks chosen on host) and
     compute transport statistics — one fused program per pass.
+
+    With pca_bucket, ``ks`` are the bucketed (static) widths and ``true_ks``
+    the traced true ranks: eigvecs columns >= true_k are zeroed, so padded
+    feature dims are exactly zero and the scalar style mean divides by the
+    TRUE rank (matching the exact-k computation, optex.py:76).
+
     Returns [(sf_projected, eigvecs, stats, premix scalar mean)]."""
     out = []
-    for sf, v, k in zip(sfs, vs, ks):
+    for sf, v, k, tk in zip(sfs, vs, ks, true_ks):
         eigvecs = None
         if k:
             eigvecs = v[:, :k]
+            if tk is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, eigvecs.shape, 1)
+                eigvecs = jnp.where(col < tk, eigvecs, 0.0)
             sf = jnp.matmul(sf, eigvecs, precision=jax.lax.Precision.HIGHEST)
         mu, cov = histmatch.moment_stats(sf)
         samples = sf.reshape(-1, sf.shape[-1]) if need_samples else None
-        out.append((sf, eigvecs, transport.StyleStats(mu, cov, samples),
-                    sf.mean()))
+        if k and tk is not None:
+            n_samples = sf.size // sf.shape[-1]
+            mean = jnp.sum(sf) / (n_samples * tk)  # zero pads don't count
+        else:
+            mean = sf.mean()
+        out.append((sf, eigvecs, transport.StyleStats(mu, cov, samples), mean))
     return out
 
 
 @partial(jax.jit, static_argnames=("depth", "use_pca"))
 def _content_prep_pass_jit(enc_params, cont, eigvecs_list, style_means,
-                           *, depth: int, use_pca: bool):
+                           true_ks, *, depth: int, use_pca: bool):
     """Multi-tap content encode + per-depth projection into style PC space +
-    re-centering at the style's scalar mean (optex.py:71-77), one program."""
+    re-centering at the style's scalar mean (optex.py:71-77), one program.
+    With pca_bucket, the content's scalar mean divides by the TRUE rank
+    (padded dims are exactly zero)."""
     taps = encode_taps(enc_params, depth, cont.astype(enc_params[0][0].dtype))
     out = []
     for i, d in enumerate(range(depth, 0, -1)):
@@ -123,7 +139,12 @@ def _content_prep_pass_jit(enc_params, cont, eigvecs_list, style_means,
         if use_pca:
             cf = jnp.matmul(cf, eigvecs_list[i],
                             precision=jax.lax.Precision.HIGHEST)
-        out.append(cf - cf.mean() + style_means[i])
+        if use_pca and true_ks[i] is not None:
+            n_samples = cf.size // cf.shape[-1]
+            cmean = jnp.sum(cf) / (n_samples * true_ks[i])
+        else:
+            cmean = cf.mean()
+        out.append(cf - cmean + style_means[i])
     return out
 
 
@@ -152,7 +173,8 @@ def _pass_stages_jit(enc_params, dec_params, pastiche, targets, key, *,
                               precision=jax.lax.Precision.HIGHEST)
         feat = transport.transport_loop(
             jax.random.fold_in(key, i), feat, targets[i].stats, iters[i], mode,
-            content_feature=targets[i].content, content_strength=strengths[i])
+            content_feature=targets[i].content, content_strength=strengths[i],
+            k_mask=targets[i].k_mask)
         if pca_flags[i]:
             feat = jnp.matmul(feat, targets[i].eigvecs.T,
                               precision=jax.lax.Precision.HIGHEST)
@@ -305,13 +327,17 @@ class Synthesizer:
             depth=self.depth, use_pca=not cfg.no_pca)
         return spectra, cont
 
-    def _finish_pass_prep(self, spectra, cont, ks, pass_key, n_styles: int):
-        """After the k-decisions: fused stats, mixing, content prep."""
+    def _finish_pass_prep(self, spectra, cont, ks, k_masks, pass_key,
+                          n_styles: int):
+        """After the k-decisions: fused stats, mixing, content prep.
+        ``ks`` are static program widths (bucketed when pca_bucket > 0);
+        ``k_masks`` the traced true ranks (None entries when exact)."""
         cfg = self.cfg
         need_samples = cfg.hist_mode in ("cdf", "sort")
         prepared = _style_stats_pass_jit(
             tuple(sf for (sf, _, _) in spectra),
             tuple(v for (_, _, v) in spectra),
+            tuple(k_masks),
             ks=ks, need_samples=need_samples)
 
         # two-style mixing happens on the (projected) feature maps, once per
@@ -336,11 +362,12 @@ class Synthesizer:
             content_feats = _content_prep_pass_jit(
                 self.bank.enc_params[self.depth], cont,
                 tuple(p[1] for p in prepared), tuple(p[3] for p in prepared),
-                depth=self.depth, use_pca=not cfg.no_pca)
+                tuple(k_masks), depth=self.depth, use_pca=not cfg.no_pca)
 
         return [
-            LayerTargets(stats=stats, eigvecs=eigvecs, content=cf)
-            for (sf, eigvecs, stats, _), cf in zip(prepared, content_feats)
+            LayerTargets(stats=stats, eigvecs=eigvecs, content=cf, k_mask=km)
+            for (sf, eigvecs, stats, _), cf, km in zip(prepared, content_feats,
+                                                       k_masks)
         ]
 
     # -- main loop -------------------------------------------------------------
@@ -369,12 +396,24 @@ class Synthesizer:
         preps = [self._dispatch_pass_prep(styles, content, size, rs, cs)
                  for (size, rs, cs) in plan]
 
-        # phase B: one host drain for every pass's k decisions
-        kss = [
-            tuple(transport.choose_k(np.asarray(sv)) if use_pca else 0
-                  for (_, sv, _) in spectra)
-            for (spectra, _) in preps
-        ]
+        # phase B: one host drain for every pass's k decisions; with
+        # pca_bucket the program width rounds UP to the bucket (capped at C)
+        # and the true rank rides along as a traced scalar
+        bucket = cfg.pca_bucket
+        kss, masks_all = [], []
+        for (spectra, _) in preps:
+            true = [transport.choose_k(np.asarray(sv)) if use_pca else 0
+                    for (_, sv, _) in spectra]
+            if bucket and use_pca:
+                widths = tuple(
+                    min(-(-t // bucket) * bucket, sf.shape[-1])
+                    for t, (sf, _, _) in zip(true, spectra))
+                masks = tuple(jnp.asarray(t, jnp.int32) for t in true)
+            else:
+                widths = tuple(true)
+                masks = tuple(None for _ in true)
+            kss.append(widths)
+            masks_all.append(masks)
 
         for p in range(cfg.passes):
             if verbose:
@@ -382,7 +421,8 @@ class Synthesizer:
             pass_key = jax.random.fold_in(self.key, p)
             t0 = time.time()
             spectra, cont = preps[p]
-            targets = self._finish_pass_prep(spectra, cont, kss[p], pass_key,
+            targets = self._finish_pass_prep(spectra, cont, kss[p],
+                                             masks_all[p], pass_key,
                                              len(styles))
             _, do_resize, cont_size = plan[p]
             if do_resize:
@@ -399,7 +439,8 @@ class Synthesizer:
             for l, tgt in enumerate(targets):
                 has_content = tgt.content is not None and l <= 2
                 adj.append(tgt if has_content else
-                           LayerTargets(tgt.stats, tgt.eigvecs, None))
+                           LayerTargets(tgt.stats, tgt.eigvecs, None,
+                                        tgt.k_mask))
                 strengths.append(
                     float(cfg.content_strength / 2 ** (4 - l)) if has_content
                     else 0.0)

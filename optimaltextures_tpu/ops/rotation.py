@@ -75,3 +75,39 @@ def stage_rotations(key: jax.Array, n_iters: int, n: int) -> jnp.ndarray:
     stage. Centralized so all execution paths draw the identical stream for
     a given key and the multi-chip paths stay bit-comparable."""
     return random_rotations_polar(key, n_iters, n)
+
+
+def stage_rotations_masked(key: jax.Array, n_iters: int, n: int,
+                           k: jnp.ndarray) -> jnp.ndarray:
+    """(n_iters, n, n) rotations of the form blockdiag(SO(k), I_{n-k}) with
+    TRACED k — the k-bucketing construction (SURVEY §7: pad the PCA rank to
+    a bucket so programs stay shape-stable across styles).
+
+    Masking the Gaussian to blockdiag(G_k, I) before the Newton-Schulz polar
+    iteration yields exactly blockdiag(polar(G_k), I): the iteration
+    preserves block structure and the polar factor is scale-invariant, so
+    the identity block passes through untouched. Features zero-padded beyond
+    k therefore stay exactly zero through rotate -> match -> unrotate, and
+    the bucketed computation equals the exact-k computation bit-for-fp.
+    """
+    g = jax.random.normal(key, (n_iters, n, n), dtype=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    inside = (row < k) & (col < k)
+    eye = (row == col).astype(jnp.float32)
+    g = jnp.where(inside, g, eye)
+
+    norm = jnp.sqrt(jnp.sum(g * g, axis=(1, 2), keepdims=True))
+    x = g / norm
+
+    def body(_, x):
+        xtx = jnp.einsum("bij,bkj->bik", x, x, precision=jax.lax.Precision.HIGHEST)
+        return 1.5 * x - 0.5 * jnp.einsum(
+            "bij,bjk->bik", xtx, x, precision=jax.lax.Precision.HIGHEST)
+
+    x = jax.lax.fori_loop(0, _POLAR_ITERS, body, x)
+    # det fix: flip column k-1 (the last column INSIDE the active block —
+    # flipping a pad column would break the identity block's invariance)
+    sign, _ = jnp.linalg.slogdet(g)
+    x = x * jnp.where(col == k - 1, sign[:, None, None], 1.0)
+    return x

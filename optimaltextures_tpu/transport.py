@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops import histmatch
-from .ops.rotation import random_rotation, stage_rotations
+from .ops.rotation import random_rotation, stage_rotations, stage_rotations_masked
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -166,11 +166,15 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
                    n_iters: int, mode: str,
                    content_feature: Optional[jnp.ndarray] = None,
                    content_strength: float = 0.0,
-                   eps: float = 1.0) -> jnp.ndarray:
+                   eps: float = 1.0,
+                   k_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """n_iters sliced-OT steps (+ optional content pull) as one fori_loop.
 
     The content step matches the reference exactly (optex.py:115-117):
     feature += strength * (content_feature - feature) after each OT iter.
+
+    ``k_mask`` (traced scalar) switches to blockdiag(SO(k), I) rotations for
+    k-bucketed features (pca_bucket): padded dims stay exactly zero.
     """
     if n_iters == 0:
         return feature
@@ -179,7 +183,10 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     # sampling — pure MXU matmuls, amortized across the whole stage (QR's
     # sequential Householder sweeps are latency-bound on TPU).
     c = feature.shape[-1]
-    rotations = stage_rotations(key, n_iters, c)
+    if k_mask is not None:
+        rotations = stage_rotations_masked(key, n_iters, c, k_mask)
+    else:
+        rotations = stage_rotations(key, n_iters, c)
 
     def body(i, feat):
         rot = rotations[i]

@@ -158,3 +158,38 @@ def test_mixing_with_content():
                    content_strength=0.1, iters=4)
     out, _ = core.synthesize(cfg, [a[:, :h, :w], b[:, :h, :w]], load(CONTENT))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pca_bucket_equals_exact():
+    """With bucket width == true k (pca_bucket=1) the masked machinery is a
+    no-op layer over the exact path: same rotation stream, zero pad columns —
+    outputs must match to float tolerance (synthesis AND content path, which
+    exercises the true-rank scalar-mean correction). Wider buckets draw a
+    DIFFERENT (equally Haar) rotation stream, so equality there is
+    distributional, not elementwise — covered by the sanity test below."""
+    styles = [load(STYLE)]
+    content = load(CONTENT)
+    for extra in ({}, {"content": CONTENT, "content_strength": 0.3}):
+        base = dict(size=64, passes=1, iters=5, no_multires=True, depth=2,
+                    seed=31, style=[STYLE], **extra)
+        cont = content if extra else None
+        exact, _ = core.synthesize(OptexConfig(**base), styles, cont)
+        bucketed, _ = core.synthesize(OptexConfig(**base, pca_bucket=1),
+                                      styles, cont)
+        np.testing.assert_allclose(np.asarray(bucketed), np.asarray(exact),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_pca_bucket_wide_statistics():
+    """A wide bucket (16) keeps padded dims exactly zero internally and still
+    lands on the style statistics (pads never leak into pixels)."""
+    styles = [load(STYLE)]
+    base = dict(size=64, passes=1, iters=16, no_multires=True, depth=2,
+                seed=31, style=[STYLE])
+    exact, _ = core.synthesize(OptexConfig(**base), styles)
+    bucketed, _ = core.synthesize(OptexConfig(**base, pca_bucket=16), styles)
+    e, b = np.asarray(exact), np.asarray(bucketed)
+    assert np.isfinite(b).all()
+    # same distribution, different rotation stream: compare image statistics
+    assert abs(e.mean() - b.mean()) < 0.05
+    assert abs(e.std() - b.std()) < 0.05

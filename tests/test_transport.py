@@ -110,3 +110,26 @@ def test_polar_rotations_are_special_orthogonal():
     for q in qs:
         np.testing.assert_allclose(q @ q.T, np.eye(64), atol=2e-4)
         assert abs(np.linalg.det(q) - 1.0) < 1e-2
+
+
+def test_masked_rotations_blockdiag():
+    """stage_rotations_masked(k) gives blockdiag(SO(k), I): identity outside
+    the active block, special-orthogonal inside, and for k == n it equals the
+    unmasked sampler exactly (same Gaussian draw)."""
+    from optimaltextures_tpu.ops.rotation import (stage_rotations,
+                                                  stage_rotations_masked)
+
+    key = jax.random.key(13)
+    n, k = 32, 20
+    qs = np.asarray(stage_rotations_masked(key, 4, n, jnp.int32(k)))
+    for q in qs:
+        np.testing.assert_allclose(q[k:, k:], np.eye(n - k), atol=1e-4)
+        np.testing.assert_allclose(q[:k, k:], 0, atol=1e-4)
+        np.testing.assert_allclose(q[k:, :k], 0, atol=1e-4)
+        blk = q[:k, :k]
+        np.testing.assert_allclose(blk @ blk.T, np.eye(k), atol=2e-4)
+        assert abs(np.linalg.det(blk) - 1.0) < 1e-2
+
+    full = np.asarray(stage_rotations(key, 4, n))
+    masked_full = np.asarray(stage_rotations_masked(key, 4, n, jnp.int32(n)))
+    np.testing.assert_allclose(masked_full, full, atol=1e-5)
