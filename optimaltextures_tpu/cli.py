@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=1,
                    help="shard --batch synthesis over this many chips "
                         "(exact joint statistics via ICI collectives)")
+    p.add_argument("--pca_bucket", type=int, default=0,
+                   help="round the PCA rank up to this bucket so programs "
+                        "stay shape-stable across styles (0 = exact rank); "
+                        "mathematically identical via zero-padded eigvecs + "
+                        "blockdiag rotations")
     p.add_argument("--spatial_devices", type=int, default=1,
                    help="shard ONE image's height axis over this many chips "
                         "(halo-exchange convs; moment modes, synthesis only)")
