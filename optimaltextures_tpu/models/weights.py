@@ -95,6 +95,47 @@ def _check(params: Params, specs, what: str) -> None:
 
 
 # ----------------------------------------------------------------------------
+# Orbax export/import: the framework-native checkpoint format (the reference
+# only ever READS torch state dicts, vgg.py:144,162; orbax gives atomic,
+# versioned, asynchronously-writable checkpoints for serving fleets).
+
+
+def save_orbax(directory: str, out_path: str) -> str:
+    """Export every converted npz in `directory` as ONE orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    tree = {}
+    for depth in available_depths(directory):
+        tree[f"encoder_{depth}"] = [
+            {"w": w, "b": b} for w, b in load_encoder_params(depth, directory)]
+        tree[f"decoder_{depth}"] = [
+            {"w": w, "b": b} for w, b in load_decoder_params(depth, directory)]
+    if not tree:
+        raise FileNotFoundError(f"no converted weights in {directory or weights_dir()}")
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(out_path), tree)
+    return out_path
+
+
+def load_orbax(path: str) -> Dict[int, Dict[str, Params]]:
+    """Load an orbax checkpoint back into {depth: {"encoder": Params,
+    "decoder": Params}}."""
+    import orbax.checkpoint as ocp
+
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    out: Dict[int, Dict[str, Params]] = {}
+    for key, convs in tree.items():
+        kind, depth_s = key.rsplit("_", 1)
+        depth = int(depth_s)
+        params = [(np.asarray(c["w"]), np.asarray(c["b"])) for c in convs]
+        out.setdefault(depth, {})[kind] = params
+    for depth, banks in out.items():
+        _check(banks["encoder"], arch.encoder_specs(depth), f"encoder depth {depth}")
+        _check(banks["decoder"], arch.decoder_specs(depth), f"decoder depth {depth}")
+    return out
+
+
+# ----------------------------------------------------------------------------
 # One-time conversion (torch needed).
 
 

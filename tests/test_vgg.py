@@ -119,3 +119,16 @@ def test_encode_taps_matches_separate_encodes(depth, rng):
         ref = encode(params_d, d, img)
         np.testing.assert_allclose(np.asarray(taps[d - 1]), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Framework-native orbax export/import preserves every conv exactly."""
+    path = str(tmp_path / "ckpt")
+    weights.save_orbax(None, path)
+    restored = weights.load_orbax(path)
+    assert set(restored) == set(HAVE)
+    for depth in HAVE:
+        orig = weights.load_encoder_params(depth)
+        for (w0, b0), (w1, b1) in zip(orig, restored[depth]["encoder"]):
+            np.testing.assert_array_equal(w0, w1)
+            np.testing.assert_array_equal(b0, b1)
