@@ -113,6 +113,16 @@ def _style_stats_pass_jit(sfs, vs, true_ks, *, ks, need_samples: bool):
             if tk is not None:
                 col = jax.lax.broadcasted_iota(jnp.int32, eigvecs.shape, 1)
                 eigvecs = jnp.where(col < tk, eigvecs, 0.0)
+            # polish the basis: jax's f32 eigh eigenvectors are visibly
+            # non-orthonormal (~1e-2), which distorts the project/unproject
+            # round-trip; three Newton-Schulz polar steps restore
+            # orthonormality within the same column space (zero-padded
+            # columns stay exactly zero)
+            for _ in range(3):
+                vtv = jnp.matmul(eigvecs.T, eigvecs,
+                                 precision=jax.lax.Precision.HIGHEST)
+                eigvecs = 1.5 * eigvecs - 0.5 * jnp.matmul(
+                    eigvecs, vtv, precision=jax.lax.Precision.HIGHEST)
             sf = jnp.matmul(sf, eigvecs, precision=jax.lax.Precision.HIGHEST)
         mu, cov = histmatch.moment_stats(sf)
         samples = sf.reshape(-1, sf.shape[-1]) if need_samples else None
