@@ -74,8 +74,6 @@ class OptexConfig:
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
         if self.pca_bucket < 0:
             raise ValueError("pca_bucket must be >= 0")
-        if self.pca_bucket and (self.num_devices > 1 or self.spatial_devices > 1):
-            raise ValueError("pca_bucket is single-device only (for now)")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "

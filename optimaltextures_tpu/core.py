@@ -468,7 +468,8 @@ class Synthesizer:
                         self.bank.enc_params[d], self.bank.dec_params[d],
                         self._dp_shard(pastiche.astype(conv_dtype)),
                         tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
-                        tgt.eigvecs, None, jax.random.fold_in(pass_key, l))
+                        tgt.eigvecs, None, jax.random.fold_in(pass_key, l),
+                        tgt.k_mask)
                     pastiche = pastiche.astype(jnp.float32)
             elif self.space_mesh is not None and content is None:
                 # SP path: one image's H axis sharded; halo-exchange convs +
@@ -484,7 +485,7 @@ class Synthesizer:
                         self.bank.enc_params[d], self.bank.dec_params[d],
                         self._sp_shard(pastiche.astype(conv_dtype)),
                         tgt.stats.mu, tgt.stats.cov_raw, tgt.eigvecs,
-                        jax.random.fold_in(pass_key, l))
+                        jax.random.fold_in(pass_key, l), tgt.k_mask)
                     pastiche = pastiche.astype(jnp.float32)
             else:
                 if verbose:

@@ -104,14 +104,20 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
                            mode: str, axis: str,
                            style_samples: Optional[jnp.ndarray] = None,
                            content_feature: Optional[jnp.ndarray] = None,
-                           content_strength: float = 0.0):
+                           content_strength: float = 0.0,
+                           k_mask: Optional[jnp.ndarray] = None):
     if n_iters == 0:
         return feature
 
     c = feature.shape[-1]
     # same batched polar rotation stream as the single-device loop (identical
     # key -> identical rotations on every shard, no broadcast needed)
-    rotations = stage_rotations(key, n_iters, c)
+    if k_mask is not None:
+        from ..ops.rotation import stage_rotations_masked
+
+        rotations = stage_rotations_masked(key, n_iters, c, k_mask)
+    else:
+        rotations = stage_rotations(key, n_iters, c)
 
     def body(i, feat):
         rot = rotations[i]
@@ -155,7 +161,7 @@ def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
     rep = P()
 
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-                    style_samples, eigvecs, content_feat, key):
+                    style_samples, eigvecs, content_feat, key, k_mask):
         feat = encode(enc_params, depth, pastiche)
         feat = feat.astype(jnp.float32)
         if use_pca:
@@ -164,14 +170,15 @@ def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                                       n_iters, mode, axis,
                                       style_samples=style_samples,
                                       content_feature=content_feat,
-                                      content_strength=strength)
+                                      content_strength=strength,
+                                      k_mask=k_mask)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
         return decode(dec_params, depth, feat.astype(pastiche.dtype))
 
     fn = jax.shard_map(
         stage_local, mesh=mesh,
-        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep, rep),
         out_specs=shard,
     )
     return jax.jit(fn, donate_argnums=(2,))

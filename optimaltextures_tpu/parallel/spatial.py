@@ -123,14 +123,20 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
     rep = P()
 
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-                    eigvecs, key):
+                    eigvecs, key, k_mask):
         feat = encode_spatial(enc_params, depth, pastiche, axis)
         feat = feat.astype(jnp.float32)  # OT statistics always in f32
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
 
         if n_iters:
-            rotations = stage_rotations(key, n_iters, feat.shape[-1])
+            if k_mask is not None:
+                from ..ops.rotation import stage_rotations_masked
+
+                rotations = stage_rotations_masked(key, n_iters,
+                                                   feat.shape[-1], k_mask)
+            else:
+                rotations = stage_rotations(key, n_iters, feat.shape[-1])
 
             def body(i, f):
                 return _moment_step_spatial(rotations[i], f, style_mu,
@@ -143,7 +149,7 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                               axis)
 
     fn = jax.shard_map(stage_local, mesh=mesh,
-                       in_specs=(rep, rep, shard, rep, rep, rep, rep),
+                       in_specs=(rep, rep, shard, rep, rep, rep, rep, rep),
                        out_specs=shard)
     return jax.jit(fn, donate_argnums=(2,))
 

@@ -49,7 +49,7 @@ def test_batch_dp_matches_single_device(rng):
     rep = replicated(mesh)
     got = stage(enc_p, dec_p, p_sh,
                 jax.device_put(stats.mu, rep), jax.device_put(stats.cov_raw, rep),
-                None, None, None, key)
+                None, None, None, key, None)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
@@ -84,7 +84,7 @@ def test_spatial_full_stage_matches_single_device(rng):
     spatial.check_spatial_divisibility(64, 8, DEPTH)
     stage = spatial.make_spatial_stage(mesh, depth=DEPTH, n_iters=3, mode="chol")
     img_sh = jax.device_put(img, NamedSharding(mesh, P(None, "space", None, None)))
-    got = np.asarray(stage(enc_p, dec_p, img_sh, stats.mu, stats.cov_raw, None, key))
+    got = np.asarray(stage(enc_p, dec_p, img_sh, stats.mu, stats.cov_raw, None, key, None))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
@@ -153,3 +153,21 @@ def test_sp_config_validation():
         OptexConfig(spatial_devices=2, hist_mode="cdf").validate()
     with pytest.raises(ValueError, match="batch"):
         OptexConfig(spatial_devices=2, batch=4).validate()
+
+
+def test_dp_with_pca_bucket(rng):
+    """pca_bucket works under DP: masked rotations are identical on every
+    shard, padded dims stay zero, output equals the unsharded bucketed run."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=4, no_multires=True, depth=2, seed=41,
+                style=["/root/reference/style/graffiti.jpg"], batch=8,
+                pca_bucket=16)
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
