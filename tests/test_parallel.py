@@ -171,3 +171,24 @@ def test_dp_with_pca_bucket(rng):
     out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), [style])
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_dp_with_mixing(rng):
+    """Two-style mixing under DP equals the single-device run (mixing happens
+    in replicated style prep; stages consume the mixed stats)."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    a = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                           oversize=False)
+    b = imageio.load_image("/root/reference/style/zebra.jpg", 64,
+                           oversize=False)
+    h = min(a.shape[1], b.shape[1]); w = min(a.shape[2], b.shape[2])
+    styles = [a[:, :h, :w], b[:, :h, :w]]
+    base = dict(size=64, passes=1, iters=4, no_multires=True, depth=2, seed=51,
+                style=["a.jpg", "b.jpg"], batch=8, mixing_alpha=0.4)
+    out1, _ = core.synthesize(OptexConfig(**base), styles)
+    out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), styles)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
