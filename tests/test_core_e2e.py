@@ -193,3 +193,26 @@ def test_pca_bucket_wide_statistics():
     # same distribution, different rotation stream: compare image statistics
     assert abs(e.mean() - b.mean()) < 0.05
     assert abs(e.std() - b.std()) < 0.05
+
+
+def test_plan_passes_gate_semantics():
+    """_plan_passes replicates the reference's resize gate (optex.py:47):
+    skip when EITHER pastiche dim equals the pass size — including the
+    sneaky mid-pyramid skip when one dim of a non-square pastiche happens
+    to coincide with a pass size."""
+    from optimaltextures_tpu.core import Synthesizer
+
+    synth = Synthesizer(tiny_cfg(iters=2))
+    synth.sizes = [96, 64, 32]
+
+    # square noise at 96: pass0 skips (dim==96), pass1 one dim 96!=64 and
+    # other 96!=64 -> resize to (64,64); pass2 resize to (32,32)
+    plan = synth._plan_passes((96, 96), None)
+    assert plan == [(96, False, None), (64, True, (64, 64)),
+                    (32, True, (32, 32))]
+
+    # non-square (96, 64): pass0 skips (H==96); pass1 ALSO skips (W==64);
+    # pass2 resizes
+    plan = synth._plan_passes((96, 64), None)
+    assert plan == [(96, False, None), (64, False, None),
+                    (32, True, (32, 32))]
