@@ -133,3 +133,36 @@ def test_masked_rotations_blockdiag():
     full = np.asarray(stage_rotations(key, 4, n))
     masked_full = np.asarray(stage_rotations_masked(key, 4, n, jnp.int32(n)))
     np.testing.assert_allclose(masked_full, full, atol=1e-5)
+
+
+def test_injected_rotation_parity_vs_numpy_oracle(rng):
+    """SURVEY §4's cross-backend parity strategy: with an INJECTED rotation,
+    one sliced-OT step must match a from-the-spec numpy oracle
+    (rotate -> covariance-match with eps=1 ridge -> unrotate,
+    optex.py:167-177 + histmatch.py:14-44)."""
+    from scipy.stats import special_ortho_group
+
+    c = 12
+    rot = special_ortho_group.rvs(c, random_state=7).astype(np.float32)
+    feat = rng.normal(1.0, 2.0, (1, 9, 11, c)).astype(np.float32)
+    style = rng.normal(-0.5, 1.5, (1, 8, 8, c)).astype(np.float32)
+
+    # numpy oracle, float64
+    def np_stats(x):
+        mu = x.mean(axis=(1, 2), keepdims=True)
+        xc = (x - mu).reshape(-1, c).T
+        return mu, xc @ xc.T / xc.shape[1] + np.eye(c)
+
+    r64 = rot.astype(np.float64)
+    rf = feat.astype(np.float64) @ r64
+    rs = style.astype(np.float64) @ r64
+    mu_t, cov_t = np_stats(rf)
+    mu_s, cov_s = np_stats(rs)
+    a = np.linalg.cholesky(cov_s) @ np.linalg.inv(np.linalg.cholesky(cov_t))
+    matched = ((a @ (rf - mu_t).reshape(-1, c).T).T.reshape(rf.shape) + mu_s)
+    expected = matched @ r64.T
+
+    stats = transport.style_stats(jnp.asarray(style), need_samples=False)
+    got = np.asarray(transport._moment_step_with_rot(
+        jnp.asarray(rot), jnp.asarray(feat), stats, "chol", 1.0))
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
