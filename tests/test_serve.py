@@ -64,3 +64,21 @@ def test_unknown_route(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_synthesize_with_content(server):
+    with open("/root/reference/content/rocket.jpg", "rb") as f:
+        content_b64 = base64.b64encode(f.read()).decode()
+    payload = {
+        "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                   "depth": 2, "seed": 0, "content_strength": 0.3,
+                   "color_transfer": "lum"},
+        "style_b64": [_style_b64()],
+        "content_b64": content_b64,
+    }
+    req = urllib.request.Request(f"{server}/v1/synthesize",
+                                 data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        png = r.read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
