@@ -62,9 +62,11 @@ def batched_histogram(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
                       block_c: int = 8, block_n: int = 512) -> jnp.ndarray:
     """(C, N) samples + per-channel (C,) lo/hi -> (C, BINS) float32 counts.
 
-    N and C are padded to block multiples; padding samples are counted into
-    bin 0 of padding channels only (real channels never see pad samples
-    because padding occurs along N with values == lo of a pad row).
+    N and C are padded to block multiples. Pad COLUMNS are set to each
+    channel's own lo, so every channel (real and pad) counts its npad
+    synthetic samples into bin 0; the exact surplus (npad) is subtracted from
+    every real channel's bin 0 afterwards. Pad ROWS are dropped by the final
+    ``out[:c]`` slice.
     """
     c, n = x.shape
     cpad = (-c) % block_c

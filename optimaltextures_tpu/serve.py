@@ -37,6 +37,7 @@ _CONFIG_FIELDS = {
     "size", "passes", "iters", "hist_mode", "color_transfer",
     "content_strength", "style_scale", "mixing_alpha", "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
+    "spatial_devices", "pca_bucket", "use_pallas", "compat_schedule_quirk",
 }
 
 
@@ -76,8 +77,12 @@ def _decode_image(b64: str, size: int, oversize: bool) -> np.ndarray:
     return (np.asarray(img, dtype=np.float32) / 255.0)[None]
 
 
-def handle_synthesize(pool: SynthesizerPool, payload: dict) -> bytes:
-    """Run one request; returns PNG bytes. Raises ValueError on bad input."""
+def handle_synthesize(pool: SynthesizerPool, payload: dict):
+    """Run one request; returns (content_type, body bytes).
+
+    batch == 1 -> raw image/png; batch > 1 -> application/json with every
+    synthesized image base64-encoded (nothing computed is discarded).
+    Raises ValueError on bad input."""
     cfg_args = {k: v for k, v in payload.get("config", {}).items()
                 if k in _CONFIG_FIELDS}
     cfg = OptexConfig(**cfg_args).validate()
@@ -101,17 +106,28 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict) -> bytes:
             shape = content.shape
         else:
             shape = (cfg.batch, cfg.size, cfg.size, 3)
-        noise = jax.random.uniform(jax.random.fold_in(synth.key, 999), shape,
+        # per-request key: fresh entropy per request when no seed is given
+        # (repeated identical requests must differ), byte-identical for a
+        # fixed seed — noise and the run's rotations both derive from it
+        run_key = synth.next_run_key()
+        noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
                                    dtype=jnp.float32)
         out = synth.run(noise, [jnp.asarray(s) for s in styles],
-                        jnp.asarray(content) if content is not None else None)
-        arr = np.clip(np.asarray(out)[0], 0.0, 1.0)
+                        jnp.asarray(content) if content is not None else None,
+                        key=run_key)
+        batch = np.clip(np.asarray(out), 0.0, 1.0)
 
     from PIL import Image
 
-    buf = io.BytesIO()
-    Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(buf, "PNG")
-    return buf.getvalue()
+    pngs = []
+    for arr in batch:
+        buf = io.BytesIO()
+        Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(buf, "PNG")
+        pngs.append(buf.getvalue())
+    if len(pngs) == 1:
+        return "image/png", pngs[0]
+    return "application/json", json.dumps(
+        {"images_b64": [base64.b64encode(p).decode() for p in pngs]}).encode()
 
 
 def make_handler(pool: SynthesizerPool):
@@ -144,7 +160,7 @@ def make_handler(pool: SynthesizerPool):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                png = handle_synthesize(pool, payload)
+                ctype, body = handle_synthesize(pool, payload)
             except (ValueError, TypeError, KeyError) as e:
                 self._json(400, {"error": str(e)})
                 return
@@ -152,10 +168,10 @@ def make_handler(pool: SynthesizerPool):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
-            self.send_header("Content-Length", str(len(png)))
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(png)
+            self.wfile.write(body)
 
     return Handler
 

@@ -91,28 +91,35 @@ def ot_step_moment(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
 
 
 def _sampled_step_with_rot(rot: jnp.ndarray, feature: jnp.ndarray,
-                           style_samples: jnp.ndarray, mode: str) -> jnp.ndarray:
+                           style_samples: jnp.ndarray, mode: str,
+                           use_pallas: Optional[bool] = None) -> jnp.ndarray:
     c = feature.shape[-1]
     b, h, w, _ = feature.shape
     rf = jnp.matmul(feature.reshape(-1, c), rot, precision=HIGHEST)
     rs = jnp.matmul(style_samples, rot, precision=HIGHEST)
-    match = histmatch.sort_match if mode == "sort" else histmatch.cdf_match
-    matched = match(rf.reshape(b, h, w, c), rs.reshape(1, -1, 1, c))
+    if mode == "sort":
+        matched = histmatch.sort_match(rf.reshape(b, h, w, c),
+                                       rs.reshape(1, -1, 1, c))
+    else:
+        matched = histmatch.cdf_match(rf.reshape(b, h, w, c),
+                                      rs.reshape(1, -1, 1, c),
+                                      use_pallas=use_pallas)
     return jnp.matmul(matched.reshape(-1, c), rot.T, precision=HIGHEST
                       ).reshape(b, h, w, c)
 
 
 def ot_step_sampled(key: jax.Array, feature: jnp.ndarray,
-                    style_samples: jnp.ndarray, mode: str) -> jnp.ndarray:
+                    style_samples: jnp.ndarray, mode: str,
+                    use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """One sliced-OT iteration on raw sample clouds: cdf (256-bin, reference
     semantics) or sort (exact 1-D OT, TPU extension)."""
     rot = random_rotation(key, feature.shape[-1])
-    return _sampled_step_with_rot(rot, feature, style_samples, mode)
+    return _sampled_step_with_rot(rot, feature, style_samples, mode, use_pallas)
 
 
 # backward-compatible alias (cdf only)
-def ot_step_cdf(key, feature, style_samples):
-    return ot_step_sampled(key, feature, style_samples, "cdf")
+def ot_step_cdf(key, feature, style_samples, use_pallas=None):
+    return ot_step_sampled(key, feature, style_samples, "cdf", use_pallas)
 
 
 def ot_step_reference(key: jax.Array, feature: jnp.ndarray, style_feature: jnp.ndarray,
@@ -167,7 +174,8 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
                    content_feature: Optional[jnp.ndarray] = None,
                    content_strength: float = 0.0,
                    eps: float = 1.0,
-                   k_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   k_mask: Optional[jnp.ndarray] = None,
+                   use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """n_iters sliced-OT steps (+ optional content pull) as one fori_loop.
 
     The content step matches the reference exactly (optex.py:115-117):
@@ -191,7 +199,8 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     def body(i, feat):
         rot = rotations[i]
         if mode in ("cdf", "sort"):
-            feat = _sampled_step_with_rot(rot, feat, stats.samples, mode)
+            feat = _sampled_step_with_rot(rot, feat, stats.samples, mode,
+                                          use_pallas)
         else:
             feat = _moment_step_with_rot(rot, feat, stats, mode, eps)
         if content_feature is not None:

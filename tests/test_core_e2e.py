@@ -54,6 +54,23 @@ def test_seed_reproducibility():
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
 
 
+def test_unseeded_reruns_draw_fresh_keys():
+    """Repeated run() calls on one UNSEEDED instance must use fresh rotations
+    (r1 VERDICT weak #2); with a seed, reruns stay byte-identical."""
+    styles = [load(STYLE)]
+    noise = np.random.default_rng(0).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+
+    synth = core.Synthesizer(tiny_cfg(seed=None))
+    a = np.asarray(synth.run(jnp.asarray(noise), styles))
+    b = np.asarray(synth.run(jnp.asarray(noise), styles))
+    assert np.abs(a - b).max() > 1e-4
+
+    synth = core.Synthesizer(tiny_cfg(seed=7))
+    a = np.asarray(synth.run(jnp.asarray(noise), styles))
+    b = np.asarray(synth.run(jnp.asarray(noise), styles))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_style_transfer_with_content():
     cfg = tiny_cfg(content=CONTENT, content_strength=0.5)
     styles = [load(STYLE)]
