@@ -44,8 +44,8 @@ class OptexConfig:
     # Number of devices to shard the batch over (1 = single chip).
     num_devices: int = 1
     # Number of devices to shard ONE image's height axis over (halo-exchange
-    # convs + sequence-parallel OT). Synthesis with moment modes only;
-    # mutually exclusive with num_devices > 1.
+    # convs + sequence-parallel OT; content matching shards with the image).
+    # chol/pca/sym/cdf; mutually exclusive with num_devices > 1.
     spatial_devices: int = 1
     # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
     use_pallas: bool = True
@@ -78,9 +78,9 @@ class OptexConfig:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "
                                  "exclusive")
-            if self.hist_mode not in ("chol", "pca", "sym"):
-                raise ValueError("spatial sharding supports the moment modes "
-                                 "(chol|pca|sym) only")
+            if self.hist_mode == "sort":
+                raise ValueError("spatial sharding supports chol|pca|sym|cdf "
+                                 "(sort would need a distributed sort)")
             if self.batch != 1:
                 raise ValueError("spatial sharding runs a single image "
                                  "(batch must be 1)")

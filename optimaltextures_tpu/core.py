@@ -279,14 +279,15 @@ class Synthesizer:
 
         return jax.device_put(pastiche, batch_sharding(self.mesh))
 
-    def _sp_stage(self, depth: int, n_iters: int, use_pca: bool):
+    def _sp_stage(self, depth: int, n_iters: int, strength: float,
+                  use_pca: bool):
         from .parallel.spatial import make_spatial_stage
 
-        key = (depth, n_iters, use_pca)
+        key = (depth, n_iters, strength, use_pca)
         if key not in self._sp_stages:
             self._sp_stages[key] = make_spatial_stage(
                 self.space_mesh, depth=depth, n_iters=n_iters,
-                mode=self.cfg.hist_mode, use_pca=use_pca)
+                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca)
         return self._sp_stages[key]
 
     def _sp_shard(self, pastiche):
@@ -427,6 +428,18 @@ class Synthesizer:
         plan = self._plan_passes(
             pastiche.shape[1:3],
             content.shape[1:3] if content is not None else None)
+        if self.space_mesh is not None:
+            # the pastiche's actual H chain can diverge from cfg.size with a
+            # content image (get_size caps at the loaded dims); every pass's H
+            # must still split evenly across the mesh at all conv depths
+            from .parallel.spatial import check_spatial_divisibility
+
+            cur_h = pastiche.shape[1]
+            for (_, rs, cs) in plan:
+                if rs:
+                    cur_h = cs[0]
+                check_spatial_divisibility(cur_h, cfg.spatial_devices,
+                                           self.depth)
         preps = [self._dispatch_pass_prep(styles, content, size, rs, cs)
                  for (size, rs, cs) in plan]
 
@@ -495,21 +508,31 @@ class Synthesizer:
                         tgt.eigvecs, None, jax.random.fold_in(pass_key, l),
                         tgt.k_mask)
                     pastiche = pastiche.astype(jnp.float32)
-            elif self.space_mesh is not None and content is None:
+            elif self.space_mesh is not None:
                 # SP path: one image's H axis sharded; halo-exchange convs +
-                # sequence-parallel OT (exact global moments via psum)
+                # sequence-parallel OT (exact global moments / psum'd global
+                # cdf histograms). Content features shard on H exactly like
+                # the pastiche's features (the content pull is elementwise).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                feat_shard = NamedSharding(self.space_mesh,
+                                           P(None, "space", None, None))
                 for l, d in enumerate(self.layer_depths):
                     if verbose:
                         print(f"Layer: relu{d}_1", flush=True)
                     tgt = adj[l]
                     conv_dtype = self.bank.enc_params[d][0][0].dtype
                     stage = self._sp_stage(d, int(self.iters_table[p][l]),
+                                           strengths[l],
                                            tgt.eigvecs is not None)
+                    cf = (jax.device_put(tgt.content, feat_shard)
+                          if tgt.content is not None else None)
                     pastiche = stage(
                         self.bank.enc_params[d], self.bank.dec_params[d],
                         self._sp_shard(pastiche.astype(conv_dtype)),
-                        tgt.stats.mu, tgt.stats.cov_raw, tgt.eigvecs,
-                        jax.random.fold_in(pass_key, l), tgt.k_mask)
+                        tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
+                        tgt.eigvecs, cf, jax.random.fold_in(pass_key, l),
+                        tgt.k_mask)
                     pastiche = pastiche.astype(jnp.float32)
             else:
                 if verbose:

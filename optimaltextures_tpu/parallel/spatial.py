@@ -111,45 +111,81 @@ def _moment_step_spatial(rot, feature, style_mu, style_cov_raw, mode: str,
     return out + style_mu
 
 
+def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
+                           n_iters: int, mode: str, axis: str,
+                           style_samples=None, content_feature=None,
+                           content_strength: float = 0.0, k_mask=None):
+    """The OT loop on an H-sharded feature map.
+
+    Moment modes reduce means AND covariances globally (sequence-parallel
+    moments); cdf mode reuses the sharded-histogram step from
+    :mod:`shard_ot` (pmin/pmax range + psum'd 256-bin target histogram —
+    axis-generic, exact global CDF). The content pull is elementwise, so an
+    H-sharded content feature map applies shard-locally. ``sort`` would need
+    a distributed sort and is rejected by config validation.
+    """
+    if n_iters == 0:
+        return feature
+
+    c = feature.shape[-1]
+    if k_mask is not None:
+        from ..ops.rotation import stage_rotations_masked
+
+        rotations = stage_rotations_masked(key, n_iters, c, k_mask)
+    else:
+        rotations = stage_rotations(key, n_iters, c)
+
+    def body(i, feat):
+        rot = rotations[i]
+        if mode == "cdf":
+            from .shard_ot import _cdf_step_sharded
+
+            feat = _cdf_step_sharded(rot, feat, style_samples, axis)
+        else:
+            feat = _moment_step_spatial(rot, feat, style_mu, style_cov_raw,
+                                        mode, axis)
+        if content_feature is not None:
+            feat = feat + content_strength * (content_feature - feat)
+        return feat
+
+    return jax.lax.fori_loop(0, n_iters, body, feature)
+
+
 def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
-                       use_pca: bool = False, axis: str = "space"):
+                       strength: float = 0.0, use_pca: bool = False,
+                       axis: str = "space"):
     """Jitted full stage over an H-sharded pastiche: halo-exchange encode ->
     sequence-parallel OT loop -> halo-exchange decode.
 
-    fn(enc_params, dec_params, pastiche_HxW-sharded, style_mu, style_cov_raw,
-    eigvecs, key) -> pastiche. Style stats replicated.
+    fn(enc_params, dec_params, pastiche_H-sharded, style_mu, style_cov_raw,
+    style_samples, eigvecs, content_feat, key, k_mask) -> pastiche. Style
+    stats/samples replicated; content features (already projected +
+    re-centered) arrive H-sharded like the pastiche's features. Same argument
+    order as :func:`shard_ot.make_sharded_stage`.
     """
     shard = P(None, axis, None, None)
     rep = P()
 
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-                    eigvecs, key, k_mask):
+                    style_samples, eigvecs, content_feat, key, k_mask):
         feat = encode_spatial(enc_params, depth, pastiche, axis)
         feat = feat.astype(jnp.float32)  # OT statistics always in f32
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
-
-        if n_iters:
-            if k_mask is not None:
-                from ..ops.rotation import stage_rotations_masked
-
-                rotations = stage_rotations_masked(key, n_iters,
-                                                   feat.shape[-1], k_mask)
-            else:
-                rotations = stage_rotations(key, n_iters, feat.shape[-1])
-
-            def body(i, f):
-                return _moment_step_spatial(rotations[i], f, style_mu,
-                                            style_cov_raw, mode, axis)
-
-            feat = jax.lax.fori_loop(0, n_iters, body, feat)
+        feat = spatial_transport_loop(key, feat, style_mu, style_cov_raw,
+                                      n_iters, mode, axis,
+                                      style_samples=style_samples,
+                                      content_feature=content_feat,
+                                      content_strength=strength,
+                                      k_mask=k_mask)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
         return decode_spatial(dec_params, depth, feat.astype(pastiche.dtype),
                               axis)
 
     fn = jax.shard_map(stage_local, mesh=mesh,
-                       in_specs=(rep, rep, shard, rep, rep, rep, rep, rep),
+                       in_specs=(rep, rep, shard, rep, rep, rep, rep, shard,
+                                 rep, rep),
                        out_specs=shard)
     return jax.jit(fn, donate_argnums=(2,))
 
