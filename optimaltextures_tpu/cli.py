@@ -70,7 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "blockdiag rotations")
     p.add_argument("--spatial_devices", type=int, default=1,
                    help="shard ONE image's height axis over this many chips "
-                        "(halo-exchange convs; moment modes, synthesis only)")
+                        "(halo-exchange convs + sequence-parallel OT; "
+                        "chol|pca|sym|cdf, content supported)")
+    p.add_argument("--content_anchor", type=str, default="index",
+                   choices=["index", "depth"],
+                   help="depth<5 content-matching rule: 'index' = the "
+                        "reference's literal l<=2 positions, 'depth' = "
+                        "anchor at VGG depths >= 3 (identical at depth 5)")
     p.add_argument("--conv_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv stack compute dtype (bfloat16 = faster MXU)")

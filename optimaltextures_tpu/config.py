@@ -36,6 +36,15 @@ class OptexConfig:
     # Max VGG depth to use. None = deepest available checkpoints (3 in this
     # snapshot; 5 once the missing conv4/5 pairs are converted).
     depth: Optional[int] = None
+    # Which layers content matching applies to when depth < 5. The reference
+    # rule (optex.py:115-117) is INDEX-anchored: the first three layer-loop
+    # positions (l <= 2) with strengths /16 /8 /4 — at depth 5 that means VGG
+    # depths 5/4/3; at depth 3 it would slide down to relu3/2/1. "depth"
+    # anchors by VGG depth instead (d >= 3, strength /2^(d-1)): at depth 3
+    # only relu3_1 pulls content at /4. The two rules COINCIDE at depth 5, so
+    # parity is unaffected once the conv4/5 checkpoints land; this flag pins
+    # the depth<5 semantics explicitly (r1 VERDICT #9).
+    content_anchor: str = "index"     # index | depth
 
     # --- performance ---------------------------------------------------------
     # Compute dtype for the conv encode/decode stacks. The OT statistics
@@ -74,6 +83,9 @@ class OptexConfig:
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
         if self.pca_bucket < 0:
             raise ValueError("pca_bucket must be >= 0")
+        if self.content_anchor not in ("index", "depth"):
+            raise ValueError(
+                f"content_anchor must be index|depth, got {self.content_anchor!r}")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "

@@ -440,8 +440,16 @@ class Synthesizer:
                     cur_h = cs[0]
                 check_spatial_divisibility(cur_h, cfg.spatial_devices,
                                            self.depth)
-        preps = [self._dispatch_pass_prep(styles, content, size, rs, cs)
-                 for (size, rs, cs) in plan]
+        # gate-skip passes encode the ORIGINAL (unresized) styles/content, so
+        # their prep is identical — dispatch it once and share (the reference
+        # re-encodes every pass; all 5 of a no_multires run's preps coincide)
+        preps, prep_cache = [], {}
+        for (size, rs, cs) in plan:
+            ck = (size, cs) if rs else None
+            if ck not in prep_cache:
+                prep_cache[ck] = self._dispatch_pass_prep(styles, content,
+                                                          size, rs, cs)
+            preps.append(prep_cache[ck])
 
         # phase B: one host drain for every pass's k decisions; with
         # pca_bucket the program width rounds UP to the bucket (capped at C)
@@ -479,18 +487,23 @@ class Synthesizer:
                 print(f"  pass prep: {(time.time()-t0)*1000:.1f} ms", flush=True)
 
             # content matching only at the 3 deepest of the 5 layers
-            # (optex.py:115-117: l <= 2), with depth-dependent strength
-            # 1/16, 1/8, 1/4 of content_strength
+            # (optex.py:115-117: l <= 2), with strength /16 /8 /4 of
+            # content_strength. At depth < 5 the two anchors diverge (see
+            # OptexConfig.content_anchor); at depth 5 they coincide.
             adj = []
             strengths = []
             for l, tgt in enumerate(targets):
-                has_content = tgt.content is not None and l <= 2
+                d = self.layer_depths[l]
+                if cfg.content_anchor == "depth":
+                    has_content = tgt.content is not None and d >= 3
+                    strength = cfg.content_strength / 2 ** (d - 1)
+                else:  # "index": the reference's literal l <= 2 rule
+                    has_content = tgt.content is not None and l <= 2
+                    strength = cfg.content_strength / 2 ** (4 - l)
                 adj.append(tgt if has_content else
                            LayerTargets(tgt.stats, tgt.eigvecs, None,
                                         tgt.k_mask))
-                strengths.append(
-                    float(cfg.content_strength / 2 ** (4 - l)) if has_content
-                    else 0.0)
+                strengths.append(float(strength) if has_content else 0.0)
 
             if self.mesh is not None and content is None:
                 # DP path: per-layer sharded stages (collectives per stage)

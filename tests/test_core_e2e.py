@@ -80,6 +80,37 @@ def test_style_transfer_with_content():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_content_anchor_semantics():
+    """Pins the depth<5 content-matching choice (r1 VERDICT #9): the two
+    anchor rules coincide at depth 5 but diverge below it."""
+    # analytic: at depth 5 both rules give the same (layer, strength) table
+    cs = 0.8
+    for l in range(5):
+        d = 5 - l
+        index_on, index_s = l <= 2, cs / 2 ** (4 - l)
+        depth_on, depth_s = d >= 3, cs / 2 ** (d - 1)
+        assert index_on == depth_on
+        if index_on:
+            assert index_s == depth_s
+
+    # behavioral at depth 2: "depth" anchoring has no d>=3 layer, so content
+    # pull is inert (== a zero-strength run); "index" pulls at l=0,1
+    styles = [load(STYLE)]
+    content = load(CONTENT)
+    noise = jnp.asarray(
+        np.random.default_rng(3).uniform(size=content.shape).astype(np.float32))
+
+    def run(**kw):
+        synth = core.Synthesizer(tiny_cfg(content=CONTENT, **kw))
+        return np.asarray(synth.run(noise, styles, content))
+
+    a = run(content_strength=0.5, content_anchor="index")
+    b = run(content_strength=0.5, content_anchor="depth")
+    c = run(content_strength=0.0, content_anchor="index")
+    np.testing.assert_array_equal(b, c)
+    assert np.abs(a - b).max() > 1e-3
+
+
 def test_texture_mixing():
     cfg = tiny_cfg(style=[STYLE, STYLE2], mixing_alpha=0.5)
     a, b = load(STYLE), load(STYLE2)
