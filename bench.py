@@ -1,21 +1,28 @@
-"""Benchmark of record: seconds per image for 512px texture synthesis.
+"""Benchmark of record. Prints exactly ONE JSON line.
 
-Runs the full pipeline (all available VGG depths, full sliced-OT schedule,
-PCA + multires — the reference's default config, optex.py defaults) on the
-attached accelerator, warm (one warm-up run populates jit + the persistent
-XLA compilation cache), then reports the steady-state wall-clock.
+Primary metric (continuity with r1): seconds per image for 512px texture
+synthesis at the deepest REAL-weight depth (3 in this snapshot — the
+reference's own conv4/5 checkpoints are missing upstream). The one line also
+carries the full BASELINE.json metric set:
 
-vs_baseline is measured against the BASELINE.md north-star of 2.0 s/image on
-one TPU v5e chip (the reference publishes no numbers — BASELINE.json
-"published": {} — and cannot run in this environment: kornia/torchvision are
-absent and its CUDA path has no TPU meaning). vs_baseline > 1.0 beats the
-target.
+* ``ot_iters_per_sec_relu3_1`` — sliced-OT iterations/sec on relu3_1-shaped
+  features (N=(size/4)^2, C=256, chol), the BASELINE.json second metric;
+* ``sec_..._depth5_synthetic_weights`` — the same 512px run through a
+  FLOP-identical He-initialized 5-depth bank (models.vgg.synthetic_bank):
+  the TRUE full-depth workload the <2 s north-star names, runnable today
+  without the missing checkpoints (weights change FLOPs not at all);
+* ``analytic_tflops`` / ``mfu_pct_bf16_peak`` — the schedule's provable FLOPs
+  (utils/flops.py, a documented lower bound) over the measured wall, against
+  the v5e bf16 peak (197 TFLOP/s; f32 OT work is counted against the same
+  peak, making the MFU conservative). See docs/PERF.md for the model.
 
-Conv stacks run in bfloat16 (the serving configuration; visually equivalent —
-the OT statistics always stay float32). BENCH_CONV_DTYPE=float32 measures the
-strict parity configuration instead.
+vs_baseline is the BASELINE.md north-star of 2.0 s/image on one v5e chip
+(the reference publishes no numbers — BASELINE.json "published": {}).
+>1.0 beats the target.
 
-Prints exactly ONE JSON line.
+Conv stacks run in bfloat16 (the serving configuration; OT statistics always
+stay float32). Env knobs: BENCH_SIZE, BENCH_RUNS, BENCH_CONV_DTYPE,
+BENCH_SYNTH_DEEP=0 / BENCH_OT_METRIC=0 to skip extras, BENCH_PEAK_TFLOPS.
 """
 
 import json
@@ -26,6 +33,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR_SECONDS = 2.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _timed_runs(synth, noise, styles, runs, **kw):
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        out = synth.run(noise, styles, **kw)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def _ot_iters_per_sec(size: int, key) -> float:
+    """Steady-state sliced-OT iterations/sec at the relu3_1 shape (chol,
+    C=256 — no PCA, the raw layer width)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from optimaltextures_tpu import transport
+
+    n_iters = 64
+    h = w = size // 4
+    feat = jax.random.normal(key, (1, h, w, 256), jnp.float32) ** 2
+    style = jax.random.normal(jax.random.fold_in(key, 1),
+                              (1, h, w, 256), jnp.float32) ** 2
+    stats = transport.style_stats(style, need_samples=False)
+
+    loop = jax.jit(partial(transport.transport_loop,
+                           n_iters=n_iters, mode="chol"))
+    loop(key, feat, stats).block_until_ready()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        loop(key, feat, stats).block_until_ready()
+        best = min(best, time.time() - t0)
+    return n_iters / best
 
 
 def main() -> None:
@@ -37,12 +82,14 @@ def main() -> None:
 
     from optimaltextures_tpu import core
     from optimaltextures_tpu.config import OptexConfig
-    from optimaltextures_tpu.utils import imageio
+    from optimaltextures_tpu.models.vgg import synthetic_bank
+    from optimaltextures_tpu.utils import flops, imageio
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    conv_dtype = os.environ.get("BENCH_CONV_DTYPE", "bfloat16")
     cfg = OptexConfig(size=size, style=["/root/reference/style/graffiti.jpg"],
-                      seed=0,
-                      conv_dtype=os.environ.get("BENCH_CONV_DTYPE", "bfloat16"))
+                      seed=0, conv_dtype=conv_dtype)
     styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
 
     synth = core.Synthesizer(cfg)
@@ -50,25 +97,52 @@ def main() -> None:
     noise = jax.random.uniform(jax.random.key(0), (1, size, size, 3),
                                dtype=jnp.float32)
 
-    # warm-up: compiles every stage (cached persistently for later rounds)
-    out = synth.run(noise, styles)
-    out.block_until_ready()
+    # warm-up compiles every stage (cached persistently for later rounds)
+    synth.run(noise, styles).block_until_ready()
+    best = _timed_runs(synth, noise, styles, runs)
 
-    # timed runs
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
-    times = []
-    for _ in range(runs):
-        t0 = time.time()
-        out = synth.run(noise, styles)
-        out.block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
+    extra = {}
+
+    # serving fast path: the style's spectra + k-decisions cached across runs
+    # (what a texture service hits for repeated styles)
+    synth.run(noise, styles, styles_token="bench").block_until_ready()
+    extra[f"sec_per_image_{size}px_warm_style_cache"] = round(
+        _timed_runs(synth, noise, styles, runs, styles_token="bench"), 4)
+
+    total_flops = flops.run_flops(
+        synth, (size, size), [s.shape[1:3] for s in styles], synth.last_run_ks)
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", V5E_BF16_PEAK_TFLOPS))
+    extra["analytic_tflops"] = round(total_flops / 1e12, 3)
+    extra["analytic_tflops_per_sec"] = round(total_flops / best / 1e12, 2)
+    extra["mfu_pct_bf16_peak"] = round(100.0 * total_flops / best / (peak * 1e12), 2)
+
+    if os.environ.get("BENCH_OT_METRIC", "1") == "1":
+        extra["ot_iters_per_sec_relu3_1"] = round(
+            _ot_iters_per_sec(size, jax.random.key(7)), 1)
+
+    if os.environ.get("BENCH_SYNTH_DEEP", "1") == "1":
+        bank5 = synthetic_bank(5, dtype=jnp.dtype(conv_dtype))
+        cfg5 = OptexConfig(size=size, style=cfg.style, seed=0, depth=5,
+                           conv_dtype=conv_dtype)
+        synth5 = core.Synthesizer(cfg5, bank=bank5)
+        synth5.run(noise, styles).block_until_ready()  # warm-up
+        best5 = _timed_runs(synth5, noise, styles, runs)
+        key5 = f"sec_per_image_{size}px_synthesis_depth5_synthetic_weights"
+        extra[key5] = round(best5, 4)
+        extra["vs_north_star_depth5"] = round(NORTH_STAR_SECONDS / best5, 3)
+        flops5 = flops.run_flops(
+            synth5, (size, size), [s.shape[1:3] for s in styles],
+            synth5.last_run_ks)
+        extra["depth5_analytic_tflops"] = round(flops5 / 1e12, 3)
+        extra["depth5_mfu_pct_bf16_peak"] = round(
+            100.0 * flops5 / best5 / (peak * 1e12), 2)
 
     print(json.dumps({
         "metric": f"sec_per_image_{size}px_synthesis_depth{synth.depth}",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(NORTH_STAR_SECONDS / best, 3),
+        "extra": extra,
     }))
 
 

@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conv stack compute dtype (bfloat16 = faster MXU)")
     p.add_argument("--no_schedule_quirk", action="store_true",
                    help="fix the reference's [l-1] schedule indexing quirk")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="force the plain-XLA cdf path instead of the fused "
+                        "Pallas histogram/remap kernels")
     p.add_argument("--device", type=str, default=None,
                    help="jax platform override (cpu|tpu|...)")
     p.add_argument("--cache_dir", type=str,
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
     from . import api
     cfg = api.config_from_args(args)
     cfg.compat_schedule_quirk = not args.no_schedule_quirk
+    cfg.use_pallas = not args.no_pallas
 
     profiler_cm = None
     if args.profile_dir:

@@ -239,6 +239,10 @@ class Synthesizer:
         self.key = jax.random.key(int(seed))
         self._seeded = cfg.seed is not None
         self._run_counter = 0
+        # cross-run style prep cache (LRU), keyed (styles_token, pass size)
+        from collections import OrderedDict
+
+        self._style_prep_cache = OrderedDict()
 
         # multi-chip batch data parallelism (synthesis only; content runs
         # single-chip since the reference ignores --batch with content)
@@ -334,10 +338,10 @@ class Synthesizer:
                 plan.append((size, False, None))
         return plan
 
-    def _dispatch_pass_prep(self, styles, content, size: int, do_resize: bool,
-                            cont_size):
-        """Dispatch one pass's style resize + multi-tap encode + spectra and
-        the content resize — no host syncs."""
+    def _dispatch_style_prep(self, styles, size: int, do_resize: bool):
+        """Dispatch one pass's style resize + multi-tap encode + spectra —
+        no host syncs. Gate-skip passes (do_resize False) encode the ORIGINAL
+        styles, mirroring the reference (optex.py:47)."""
         cfg = self.cfg
         if do_resize:
             style_tens = tuple(
@@ -345,15 +349,28 @@ class Synthesizer:
                                                       s.shape[1], s.shape[2]))
                 for s in styles
             )
-            cont = (_resize_jit(content, size=cont_size)
-                    if content is not None else None)
         else:
             style_tens = tuple(styles)
-            cont = content
-        spectra = _style_spectra_pass_jit(
+        return _style_spectra_pass_jit(
             self.bank.enc_params[self.depth], style_tens,
             depth=self.depth, use_pca=not cfg.no_pca)
-        return spectra, cont
+
+    def _choose_widths(self, spectra):
+        """Host k-decision for one pass's spectra: static program widths +
+        traced true-rank masks (pca_bucket)."""
+        cfg = self.cfg
+        use_pca = not cfg.no_pca
+        bucket = cfg.pca_bucket
+        true = [transport.choose_k(np.asarray(sv)) if use_pca else 0
+                for (_, sv, _) in spectra]
+        if bucket and use_pca:
+            widths = tuple(min(-(-t // bucket) * bucket, sf.shape[-1])
+                           for t, (sf, _, _) in zip(true, spectra))
+            masks = tuple(jnp.asarray(t, jnp.int32) for t in true)
+        else:
+            widths = tuple(true)
+            masks = tuple(None for _ in true)
+        return widths, masks
 
     def _finish_pass_prep(self, spectra, cont, ks, k_masks, pass_key,
                           n_styles: int):
@@ -401,12 +418,19 @@ class Synthesizer:
     # -- main loop -------------------------------------------------------------
 
     def run(self, pastiche, styles, content=None, verbose: bool = False,
-            key: Optional[jax.Array] = None):
+            key: Optional[jax.Array] = None, styles_token=None):
         """Full synthesis/transfer. Inputs are NHWC float32 jnp/np arrays.
 
         ``key`` overrides the run's PRNG key (callers that also draw the
         input noise pass the same per-request key for a self-consistent run);
-        default is :meth:`next_run_key`."""
+        default is :meth:`next_run_key`.
+
+        ``styles_token``: any hashable identifying the ``styles`` CONTENT
+        (e.g. a hash of the encoded bytes). When given, the per-pass style
+        spectra + PCA k-decisions are cached on this instance and reused by
+        later runs with the same token — the serving-pool fast path. The
+        caller owns token correctness: a stale token with different styles
+        returns the cached styles' statistics."""
         import os
         timing = os.environ.get("OPTEX_TIMING") == "1"
 
@@ -440,43 +464,67 @@ class Synthesizer:
                     cur_h = cs[0]
                 check_spatial_divisibility(cur_h, cfg.spatial_devices,
                                            self.depth)
-        # gate-skip passes encode the ORIGINAL (unresized) styles/content, so
-        # their prep is identical — dispatch it once and share (the reference
-        # re-encodes every pass; all 5 of a no_multires run's preps coincide)
-        preps, prep_cache = [], {}
+        # gate-skip passes encode the ORIGINAL (unresized) styles, so their
+        # prep is identical — dispatch each distinct prep once and share (the
+        # reference re-encodes every pass; all 5 of a no_multires run's preps
+        # coincide). With ``styles_token`` the (spectra + k-decision) entries
+        # additionally persist across run() calls, so a warm serving pool
+        # skips ALL style conv/eigh device work AND the per-run k-decision
+        # pipeline drain for repeated styles (r1 VERDICT next-step #7).
+        entries = []        # one per pass: [spectra, widths, masks]
+        pending = []        # entries whose k-decision hasn't run yet
+        local = {}
         for (size, rs, cs) in plan:
-            ck = (size, cs) if rs else None
-            if ck not in prep_cache:
-                prep_cache[ck] = self._dispatch_pass_prep(styles, content,
-                                                          size, rs, cs)
-            preps.append(prep_cache[ck])
+            ck = size if rs else None
+            full = (styles_token, ck)
+            if styles_token is not None and full in self._style_prep_cache:
+                self._style_prep_cache.move_to_end(full)
+                entry = self._style_prep_cache[full]
+            elif ck in local:
+                entry = local[ck]
+            else:
+                entry = [self._dispatch_style_prep(styles, size, rs), None,
+                         None, full]
+                local[ck] = entry
+                pending.append(entry)
+            entries.append(entry)
 
-        # phase B: one host drain for every pass's k decisions; with
+        # phase B: one host drain for every NEW prep's k decisions; with
         # pca_bucket the program width rounds UP to the bucket (capped at C)
         # and the true rank rides along as a traced scalar
-        bucket = cfg.pca_bucket
-        kss, masks_all = [], []
-        for (spectra, _) in preps:
-            true = [transport.choose_k(np.asarray(sv)) if use_pca else 0
-                    for (_, sv, _) in spectra]
-            if bucket and use_pca:
-                widths = tuple(
-                    min(-(-t // bucket) * bucket, sf.shape[-1])
-                    for t, (sf, _, _) in zip(true, spectra))
-                masks = tuple(jnp.asarray(t, jnp.int32) for t in true)
+        for entry in pending:
+            entry[1], entry[2] = self._choose_widths(entry[0])
+            if styles_token is not None:
+                self._style_prep_cache[entry[3]] = entry
+        while len(self._style_prep_cache) > 6 * max(cfg.passes, 1):
+            self._style_prep_cache.popitem(last=False)
+
+        kss = [e[1] for e in entries]
+        masks_all = [e[2] for e in entries]
+        # realized per-(pass, layer) program widths; consumed by the analytic
+        # FLOP model in bench.py (utils/flops.py)
+        self.last_run_ks = kss
+
+        # per-pass content resize (from the ORIGINAL, like the reference —
+        # optex.py:50-51 resizes forward()'s unmodified content every pass)
+        conts = []
+        rs_cache = {}
+        for (size, rs, cs) in plan:
+            if content is None:
+                conts.append(None)
+            elif rs:
+                if cs not in rs_cache:
+                    rs_cache[cs] = _resize_jit(content, size=cs)
+                conts.append(rs_cache[cs])
             else:
-                widths = tuple(true)
-                masks = tuple(None for _ in true)
-            kss.append(widths)
-            masks_all.append(masks)
+                conts.append(content)
 
         for p in range(cfg.passes):
             if verbose:
                 print(f"Pass {p}, size {self.sizes[p]}", flush=True)
             pass_key = jax.random.fold_in(run_key, p)
             t0 = time.time()
-            spectra, cont = preps[p]
-            targets = self._finish_pass_prep(spectra, cont, kss[p],
+            targets = self._finish_pass_prep(entries[p][0], conts[p], kss[p],
                                              masks_all[p], pass_key,
                                              len(styles))
             _, do_resize, cont_size = plan[p]

@@ -101,3 +101,36 @@ class VGGBank:
 
     def decode_fn(self, depth: int):
         return partial(decode, self.dec_params[depth], depth)
+
+
+def synthetic_bank(max_depth: int = 5, dtype=jnp.float32,
+                   seed: int = 0) -> VGGBank:
+    """A VGGBank with He-scaled random weights for every depth 1..max_depth.
+
+    FLOP- and shape-identical to a real bank (same spec tables), so it
+    measures the TRUE cost of workloads whose checkpoints are missing from
+    the reference snapshot (the conv4/5 pairs, ``.MISSING_LARGE_BLOBS``).
+    Outputs are meaningless as textures — this exists for benchmarking and
+    architecture validation only; converted real weights drop in unchanged.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def params_for(specs):
+        # He scaling keeps post-ReLU activation variance ~stable through the
+        # stack, so deep synthetic runs neither collapse to zero nor overflow
+        # (timing with denormal/inf tensors would not be representative)
+        return [(jnp.asarray(rng.normal(
+                    0.0, np.sqrt(2.0 / (k * k * cin)),
+                    (k, k, cin, cout)).astype(np.float32), dtype),
+                 jnp.zeros((cout,), dtype))
+                for (cin, cout, k, _, _) in specs]
+
+    bank = VGGBank.__new__(VGGBank)
+    bank.max_depth = max_depth
+    bank.enc_params = {d: params_for(arch.encoder_specs(d))
+                       for d in range(1, max_depth + 1)}
+    bank.dec_params = {d: params_for(arch.decoder_specs(d))
+                       for d in range(1, max_depth + 1)}
+    return bank

@@ -113,9 +113,11 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
         run_key = synth.next_run_key()
         noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
                                    dtype=jnp.float32)
+        # styles_token: repeated requests with the same style bytes skip all
+        # style conv/eigh device work + the k-decision sync (prep cache)
         out = synth.run(noise, [jnp.asarray(s) for s in styles],
                         jnp.asarray(content) if content is not None else None,
-                        key=run_key)
+                        key=run_key, styles_token=hash(tuple(styles_b64)))
         batch = np.clip(np.asarray(out), 0.0, 1.0)
 
     from PIL import Image

@@ -37,6 +37,38 @@ def test_deep_encoder_taps(rng):
     assert [t.shape[1] for t in taps] == [64, 32, 16, 8, 4]
 
 
+def test_depth5_synthetic_end_to_end(rng):
+    """The FULL 5-depth pipeline orchestration runs today with the
+    FLOP-identical synthetic bank (models.vgg.synthetic_bank): 5-layer
+    schedule + PCA at C=512 + content matching. Real conv4/5 weights drop in
+    unchanged. Also pins that the two content_anchor rules coincide at
+    depth 5 (byte-identical outputs)."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.models.vgg import synthetic_bank
+    from optimaltextures_tpu.utils import imageio
+
+    bank = synthetic_bank(5)
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    content = imageio.load_image("/root/reference/content/rocket.jpg", 64,
+                                 oversize=False)
+    noise = jnp.asarray(rng.random(content.shape, dtype=np.float32))
+
+    outs = {}
+    for anchor in ("index", "depth"):
+        cfg = OptexConfig(size=64, passes=1, iters=5, no_multires=True,
+                          depth=5, seed=0, content_strength=0.4,
+                          content_anchor=anchor, style=["graffiti.jpg"])
+        synth = core.Synthesizer(cfg, bank=bank)
+        assert synth.depth == 5 and len(synth.layer_depths) == 5
+        out = np.asarray(synth.run(noise, [style], content))
+        assert out.shape == content.shape
+        assert np.isfinite(out).all()
+        outs[anchor] = out
+    np.testing.assert_array_equal(outs["index"], outs["depth"])
+
+
 def test_conv_counts_match_reference_checkpoint_layout():
     """Sequential indices for depths 4/5 follow the documented key layout
     (so conversion will line up when the .pth files are sourced)."""

