@@ -86,7 +86,7 @@ def main() -> None:
     from optimaltextures_tpu.utils import flops, imageio
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))  # best-of; tunnel RTT varies
     conv_dtype = os.environ.get("BENCH_CONV_DTYPE", "bfloat16")
     cfg = OptexConfig(size=size, style=["/root/reference/style/graffiti.jpg"],
                       seed=0, conv_dtype=conv_dtype)

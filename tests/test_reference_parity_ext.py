@@ -1,0 +1,249 @@
+"""Extended direct A/B parity: the reference's optex.py / vgg.py / util.py.
+
+``histmatch.py`` parity lives in test_reference_parity.py; this file imports
+the REST of the reference (torchvision and kornia are absent here, so
+minimal module stubs satisfy their top-level imports — no stubbed function
+is ever executed except the filename-capturing save_image). Everything below
+asserts against the imported reference code itself, on CPU:
+
+* Encoder/Decoder forward (reflection pad + ceil-mode pool + nearest-up +
+  the actual .pth weights) vs our NHWC conv stacks with converted weights;
+* fit_pca (torch.svd + exclusive-k rule) vs pca_spectrum/choose_k;
+* optimal_transport for all four modes with an injected rotation vs our
+  fast moment path / sampled path;
+* mix_style_features with an injected mask vs our mixing composition;
+* get_iters_and_sizes (incl. the [l-1] consumption quirk), get_size,
+  round32, name, resize, and the save_image filename codec.
+"""
+
+import sys
+import types
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+_CAPTURED_PATHS = []
+
+
+def _install_stubs():
+    """Satisfy the reference's torchvision/kornia imports (absent here).
+
+    torchvision.utils.save_image captures its path argument so the filename
+    codec can be A/B'd without writing files; every other stub raises if
+    called."""
+    def _unavailable(*a, **kw):
+        raise RuntimeError("stubbed module function should not be called")
+
+    names = ["torchvision", "torchvision.transforms",
+             "torchvision.transforms.functional", "torchvision.utils"]
+    for n in names:
+        sys.modules.setdefault(n, types.ModuleType(n))
+    tv = sys.modules["torchvision"]
+    tv.transforms = sys.modules["torchvision.transforms"]
+    tv.transforms.functional = sys.modules["torchvision.transforms.functional"]
+    tv.transforms.functional.to_tensor = _unavailable
+    tv.utils = sys.modules["torchvision.utils"]
+    tv.utils.save_image = lambda out, path: _CAPTURED_PATHS.append(path)
+
+    k = types.ModuleType("kornia")
+    kc = types.ModuleType("kornia.color")
+    kh = types.ModuleType("kornia.color.hls")
+    kh.rgb_to_hls = kh.hls_to_rgb = _unavailable
+    kc.hls = kh
+    k.color = kc
+    sys.modules.setdefault("kornia", k)
+    sys.modules.setdefault("kornia.color", kc)
+    sys.modules.setdefault("kornia.color.hls", kh)
+
+
+_install_stubs()
+sys.path.insert(0, "/root/reference")
+import optex as ref_optex  # noqa: E402
+import util as ref_util  # noqa: E402
+import vgg as ref_vgg  # noqa: E402
+
+from optimaltextures_tpu import transport  # noqa: E402
+from optimaltextures_tpu.models.vgg import VGGBank, decode, encode  # noqa: E402
+from optimaltextures_tpu.ops import histmatch  # noqa: E402
+from optimaltextures_tpu.ops.resize import resize_nearest_nhwc, resize_nhwc  # noqa: E402
+from optimaltextures_tpu.utils import imageio, schedule  # noqa: E402
+
+
+# --- feature codec ----------------------------------------------------------
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_encoder_decoder_forward_vs_reference(depth, rng):
+    """Our NHWC stacks + converted .npz weights vs the reference modules
+    loading the original .pth (vgg.py:138-171) — pad/pool/upsample semantics
+    and weight conversion all in one assertion."""
+    bank = VGGBank(3)
+    img = rng.random((1, 64, 80, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feat = ref_vgg.Encoder(depth)(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()  # NHWC out
+    got_feat = np.asarray(encode(bank.enc_params[depth], depth, jnp.asarray(img)))
+    np.testing.assert_allclose(got_feat, ref_feat, rtol=2e-4, atol=2e-4)
+
+    with torch.no_grad():
+        ref_img = ref_vgg.Decoder(depth)(torch.from_numpy(ref_feat)).numpy()
+    got_img = np.asarray(decode(bank.dec_params[depth], depth,
+                                jnp.asarray(got_feat)))
+    np.testing.assert_allclose(got_img.transpose(0, 3, 1, 2), ref_img,
+                               rtol=2e-4, atol=2e-4)
+
+
+# --- PCA --------------------------------------------------------------------
+
+def test_fit_pca_vs_reference(rng):
+    """Same k (exclusive-crossing rule) and the same rank-k projector
+    (optex.py:180-190; column signs are not comparable, V V^T is)."""
+    feat = np.maximum(rng.normal(1.0, 2.0, (1, 16, 16, 32)), 0).astype(np.float32)
+    with torch.no_grad():
+        _, ref_eigvecs = ref_optex.fit_pca(torch.from_numpy(feat))
+    s, v = transport.pca_spectrum(jnp.asarray(feat))
+    k = transport.choose_k(np.asarray(s))
+    assert k == ref_eigvecs.shape[1]
+    p_ref = (ref_eigvecs @ ref_eigvecs.T).numpy()
+    vk = np.asarray(v)[:, :k]
+    np.testing.assert_allclose(vk @ vk.T, p_ref, rtol=1e-4, atol=1e-4)
+
+
+# --- the sliced-OT step -----------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["chol", "pca", "sym", "cdf"])
+def test_optimal_transport_vs_reference(mode, rng, monkeypatch):
+    """Full reference optimal_transport (optex.py:167-177) with an injected
+    rotation vs our congruence fast path (moment modes) / sampled path (cdf)
+    — certifies the 6-GEMM -> 2-GEMM rewrite against the reference itself."""
+    c = 32
+    rot = np.linalg.qr(rng.normal(size=(c, c)))[0].astype(np.float32)
+    if np.linalg.det(rot) < 0:
+        rot[:, 0] *= -1
+    monkeypatch.setattr(ref_optex, "random_rotation",
+                        lambda n, device="cpu", impl="scipy":
+                        torch.from_numpy(rot))
+
+    pf = np.maximum(rng.normal(0.5, 1.0, (1, 12, 14, c)), 0).astype(np.float32)
+    sf = np.maximum(rng.normal(1.5, 2.0, (1, 10, 11, c)), 0).astype(np.float32)
+    with torch.no_grad():
+        want = ref_optex.optimal_transport(torch.from_numpy(pf),
+                                           torch.from_numpy(sf), mode).numpy()
+    stats = transport.style_stats(jnp.asarray(sf), need_samples=(mode == "cdf"))
+    if mode == "cdf":
+        got = transport._sampled_step_with_rot(jnp.asarray(rot),
+                                               jnp.asarray(pf),
+                                               stats.samples, "cdf")
+    else:
+        got = transport._moment_step_with_rot(jnp.asarray(rot),
+                                              jnp.asarray(pf), stats, mode, 1.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# --- texture mixing ---------------------------------------------------------
+
+def test_mix_style_features_vs_reference(rng):
+    """Reference mix (optex.py:193-206) with an injected mask vs our
+    nearest-resize + cross-match + blend composition."""
+    from optimaltextures_tpu.core import _mix_pair_jit
+
+    alpha, mode = 0.4, "chol"
+    sf = np.maximum(rng.normal(1.0, 2.0, (2, 12, 10, 8)), 0).astype(np.float32)
+    mask = (rng.random((1, 1, 6, 5)) > 0.5).astype(np.float32)  # NCHW, coarse
+
+    with torch.no_grad():
+        want = ref_optex.mix_style_features(
+            [torch.from_numpy(sf.copy())], torch.from_numpy(mask),
+            alpha, mode)[0].numpy()
+
+    m = resize_nearest_nhwc(jnp.asarray(mask.transpose(0, 2, 3, 1)), (12, 10))
+    got = _mix_pair_jit(jnp.asarray(sf[0:1]), jnp.asarray(sf[1:2]), m,
+                        mode=mode, alpha=alpha)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# --- scheduler / geometry / naming ------------------------------------------
+
+def test_reference_no_multires_schedule_crashes():
+    """A genuine reference bug, pinned: with use_multires=False the reference
+    builds ``sizes`` as a python list and then calls ``.tolist()`` on it
+    (util.py:80,86) — ``--no_multires`` CRASHES the reference outright. Our
+    scheduler implements the intended uniform schedule instead."""
+    with pytest.raises(AttributeError):
+        ref_util.get_iters_and_sizes(512, 500, 5, False)
+    table, sizes = schedule.iters_and_sizes(512, 500, 5, False)
+    assert sizes == [512] * 5 and len(table) == 5
+
+
+@pytest.mark.parametrize("size,iters,passes,multires", [
+    (512, 500, 5, True), (256, 120, 3, True), (1024, 777, 7, True),
+])
+def test_get_iters_and_sizes_vs_reference(size, iters, passes, multires):
+    """Ours vs util.py:68-86 directly, under BOTH consumption rules: with
+    quirk=True our [p][l] must equal the reference's [p][(l-1) % 5]
+    (optex.py:112); with quirk=False the intended column 5-l-1. (The
+    no-multires branch cannot be A/B'd — it crashes the reference, see
+    test_reference_no_multires_schedule_crashes.)"""
+    ref_table, ref_sizes = ref_util.get_iters_and_sizes(size, iters, passes,
+                                                        multires)
+    for quirk in (True, False):
+        table, sizes = schedule.iters_and_sizes(size, iters, passes, multires,
+                                                quirk=quirk)
+        assert [int(s) for s in sizes] == [int(s) for s in ref_sizes]
+        for p in range(passes):
+            for l in range(5):
+                col = (l - 1) % 5 if quirk else 5 - l - 1
+                assert table[p][l] == int(ref_table[p][col]), (p, l, quirk)
+
+
+def test_get_size_round32_name_vs_reference():
+    cases = [(512, 1.0, 700, 500, False), (512, 0.5, 700, 500, False),
+             (512, 1.0, 300, 900, True), (256, 2.0, 257, 255, True),
+             (64, 1.0, 64, 64, False), (512, 1.3, 1000, 333, True)]
+    for (size, scale, h, w, oversize) in cases:
+        assert schedule.get_size(size, scale, h, w, oversize) == \
+            tuple(ref_util.get_size(size, scale, h, w, oversize))
+    for x in [0, 1, 31, 32, 33, 63, 64, 100, 511, 512]:
+        assert schedule.round32(x) == ref_util.round32(x)
+    for p in ["style/graffiti.jpg", "/a/b/c.d.e.png", "noext"]:
+        assert imageio.output_name  # codec tested below; name() directly:
+        assert p.split("/")[-1].split(".")[0] == ref_util.name(p)
+
+
+def test_resize_vs_reference_util(rng):
+    """Our two-GEMM resampler vs the reference's own resize wrapper
+    (util.py:105-106) — not just raw torch.interpolate."""
+    x = rng.random((1, 40, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_util.resize(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                               (28, 36)).numpy()
+    got = np.asarray(resize_nhwc(jnp.asarray(x), (28, 36)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_save_image_filename_codec_vs_reference():
+    """The self-describing output filename (util.py:45-65) captured from the
+    reference's save_image via the stubbed torchvision writer, vs ours."""
+    from optimaltextures_tpu.config import OptexConfig
+
+    cases = [
+        dict(style=["style/graffiti.jpg"], content=None, mixing_alpha=0.5,
+             content_strength=0.01, hist_mode="chol", no_pca=False,
+             no_multires=False, style_scale=1.0, color_transfer=None,
+             size=512, output_dir="/tmp/o"),
+        dict(style=["s/zebra.jpg", "s/pattern.jpg"], content="c/rocket.jpg",
+             mixing_alpha=0.3, content_strength=0.2, hist_mode="pca",
+             no_pca=True, no_multires=True, style_scale=0.5,
+             color_transfer="lum", size=256, output_dir="/tmp/o"),
+    ]
+    for kw in cases:
+        _CAPTURED_PATHS.clear()
+        ref_util.save_image(torch.zeros(1, 3, 4, 4), Namespace(**kw))
+        ref_path = _CAPTURED_PATHS[0]
+        ref_name = ref_path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        assert imageio.output_name(OptexConfig(**kw)) == ref_name
