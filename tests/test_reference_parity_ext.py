@@ -166,6 +166,82 @@ def test_mix_style_features_vs_reference(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+# --- whole-pass integration -------------------------------------------------
+
+def test_full_pass_integration_vs_reference(rng, monkeypatch):
+    """One complete pass (style transfer, depth 3, layers relu3->relu1, per-
+    layer OT loops + content steps, decode feeding the next encode) composed
+    from the REFERENCE's own Encoder/Decoder/optimal_transport and the
+    forward flow of optex.py:92-122, vs our fused `_pass_stages_jit` — both
+    consuming the SAME injected rotation stream. no_pca isolates the
+    composition itself (PCA bases are sign-ambiguous across backends; their
+    parity is covered by test_fit_pca_vs_reference)."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    content = imageio.load_image("/root/reference/content/rocket.jpg", 64,
+                                 oversize=False)
+    noise = rng.random(content.shape, dtype=np.float32)
+    iters = [2, 3, 4]          # distinct per layer
+    cs = 0.3                   # content strength
+
+    # one Haar rotation stream, consumed in the same order by both sides
+    from scipy.stats import special_ortho_group
+
+    widths = {3: 256, 2: 128, 1: 64}
+    per_layer = {widths[d]: np.stack([
+        special_ortho_group.rvs(widths[d], random_state=100 * d + i)
+        for i in range(n)]).astype(np.float32)
+        for (d, n) in zip((3, 2, 1), iters)}
+
+    # --- reference side: compose its own pieces per optex.py:92-122
+    queue = [r for d in (3, 2, 1) for r in per_layer[widths[d]]]
+    monkeypatch.setattr(ref_optex, "random_rotation",
+                        lambda n, device="cpu", impl="scipy":
+                        torch.from_numpy(queue.pop(0)))
+    with torch.no_grad():
+        style_t = torch.from_numpy(np.asarray(style).transpose(0, 3, 1, 2))
+        cont_t = torch.from_numpy(np.asarray(content).transpose(0, 3, 1, 2))
+        pastiche_t = torch.from_numpy(noise.transpose(0, 3, 1, 2))
+        encs = {d: ref_vgg.Encoder(d) for d in (3, 2, 1)}
+        decs = {d: ref_vgg.Decoder(d) for d in (3, 2, 1)}
+        sf, cf = {}, {}
+        for d in (3, 2, 1):
+            sf[d] = encs[d](style_t)
+            c_ = encs[d](cont_t)
+            cf[d] = c_ - c_.mean() + sf[d].mean()     # optex.py:76
+        for l, d in enumerate((3, 2, 1)):
+            pf = encs[d](pastiche_t)
+            for _ in range(iters[l]):
+                pf = ref_optex.optimal_transport(pf, sf[d], "chol")
+                strength = cs / 2 ** (4 - l)          # optex.py:115-117
+                pf += strength * (cf[d] - pf)
+            pastiche_t = decs[d](pf)
+    assert not queue                                   # all rotations consumed
+    want = pastiche_t.numpy().transpose(0, 2, 3, 1)
+
+    # --- our side: the real Synthesizer with the rotation stream injected
+    fake_rots = {n: jnp.asarray(v) for n, v in per_layer.items()}
+    core._pass_stages_jit.clear_cache()
+    try:
+        monkeypatch.setattr("optimaltextures_tpu.transport.stage_rotations",
+                            lambda key, n_iters, n: fake_rots[n])
+        cfg = OptexConfig(size=64, passes=1, iters=9, no_multires=True,
+                          depth=3, seed=0, no_pca=True, content_strength=cs,
+                          style=["graffiti.jpg"])
+        synth = core.Synthesizer(cfg)
+        synth.iters_table = [iters]
+        got = np.asarray(synth.run(jnp.asarray(noise), [jnp.asarray(style)],
+                                   jnp.asarray(content)))
+    finally:
+        core._pass_stages_jit.clear_cache()  # drop the injected-trace program
+
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
 # --- scheduler / geometry / naming ------------------------------------------
 
 def test_reference_no_multires_schedule_crashes():
