@@ -168,7 +168,8 @@ def test_mix_style_features_vs_reference(rng):
 
 # --- whole-pass integration -------------------------------------------------
 
-def test_full_pass_integration_vs_reference(rng, monkeypatch):
+@pytest.mark.parametrize("mode", ["chol", "cdf"])
+def test_full_pass_integration_vs_reference(mode, rng, monkeypatch):
     """One complete pass (style transfer, depth 3, layers relu3->relu1, per-
     layer OT loops + content steps, decode feeding the next encode) composed
     from the REFERENCE's own Encoder/Decoder/optimal_transport and the
@@ -188,17 +189,70 @@ def test_full_pass_integration_vs_reference(rng, monkeypatch):
     iters = [2, 3, 4]          # distinct per layer
     cs = 0.3                   # content strength
 
-    # one Haar rotation stream, consumed in the same order by both sides
+    want = _reference_pass(style, content, noise, iters, cs, mode, monkeypatch)
+    got = _our_pass(style, content, noise, iters, cs, mode, monkeypatch,
+                    passes=1, size=64, no_multires=True)
+    if mode == "chol":
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    else:
+        # cdf is chaotic at pass granularity: post-ReLU VGG features are
+        # spiky (bin 0 holds every zero), so ~1e-6 GEMM-reassociation noise
+        # moves samples across f32 bin edges and each of the 9 iterations
+        # amplifies the jump — the reference diverges from ITSELF the same
+        # way under any epsilon input change. Step-level cdf equality (same
+        # exact input) is proven in test_optimal_transport_vs_reference; at
+        # pass level the stable contract is distributional: the per-channel
+        # pixel DISTRIBUTIONS must agree (1-D Wasserstein via sorted values).
+        assert abs(got.mean() - want.mean()) < 0.02
+        assert abs(got.std() - want.std()) < 0.02
+        for c in range(3):
+            a = np.sort(got[..., c].ravel())
+            b = np.sort(want[..., c].ravel())
+            assert np.abs(a - b).mean() < 0.02  # W1 distance per channel
+
+
+def test_multipass_multires_integration_vs_reference(rng, monkeypatch):
+    """TWO multires passes (64 -> 96 with the bicubic pastiche/style resize
+    chain and per-pass re-encoded style targets, optex.py:47-55) composed
+    from reference pieces vs our pipeline, same injected rotations."""
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 96,
+                               oversize=False)
+    content = imageio.load_image("/root/reference/content/rocket.jpg", 96,
+                                 oversize=False)
+    noise = rng.random((1, 32, 32, 3), dtype=np.float32)  # forces both resizes
+    iters = [1, 2, 3]
+    cs = 0.2
+
+    want = _reference_pass(style, content, noise, iters, cs, "chol",
+                           monkeypatch, sizes=(64, 96))
+    got = _our_pass(style, content, noise, iters, cs, "chol", monkeypatch,
+                    passes=2, size=96, no_multires=False, sizes=(64, 96))
+    np.testing.assert_allclose(got, want, rtol=8e-3, atol=8e-3)
+
+
+def _rotation_stream(iters, n_passes):
     from scipy.stats import special_ortho_group
 
     widths = {3: 256, 2: 128, 1: 64}
-    per_layer = {widths[d]: np.stack([
-        special_ortho_group.rvs(widths[d], random_state=100 * d + i)
-        for i in range(n)]).astype(np.float32)
-        for (d, n) in zip((3, 2, 1), iters)}
+    per_key = {}
+    for p in range(n_passes):
+        for (d, n) in zip((3, 2, 1), iters):
+            per_key[(p, widths[d])] = np.stack([
+                special_ortho_group.rvs(widths[d],
+                                        random_state=10000 * p + 100 * d + i)
+                for i in range(n)]).astype(np.float32)
+    return per_key
 
-    # --- reference side: compose its own pieces per optex.py:92-122
-    queue = [r for d in (3, 2, 1) for r in per_layer[widths[d]]]
+
+def _reference_pass(style, content, noise, iters, cs, mode, monkeypatch,
+                    sizes=None):
+    """The reference forward flow (optex.py:92-122, incl. the encode_inputs
+    resize gate for multires) composed from its own imported pieces."""
+    stream = _rotation_stream(iters, len(sizes) if sizes else 1)
+    queue = [r for p in range(len(sizes) if sizes else 1)
+             for d in (3, 2, 1) for r in stream[(p, {3: 256, 2: 128, 1: 64}[d])]]
     monkeypatch.setattr(ref_optex, "random_rotation",
                         lambda n, device="cpu", impl="scipy":
                         torch.from_numpy(queue.pop(0)))
@@ -208,38 +262,69 @@ def test_full_pass_integration_vs_reference(rng, monkeypatch):
         pastiche_t = torch.from_numpy(noise.transpose(0, 3, 1, 2))
         encs = {d: ref_vgg.Encoder(d) for d in (3, 2, 1)}
         decs = {d: ref_vgg.Decoder(d) for d in (3, 2, 1)}
-        sf, cf = {}, {}
-        for d in (3, 2, 1):
-            sf[d] = encs[d](style_t)
-            c_ = encs[d](cont_t)
-            cf[d] = c_ - c_.mean() + sf[d].mean()     # optex.py:76
-        for l, d in enumerate((3, 2, 1)):
-            pf = encs[d](pastiche_t)
-            for _ in range(iters[l]):
-                pf = ref_optex.optimal_transport(pf, sf[d], "chol")
-                strength = cs / 2 ** (4 - l)          # optex.py:115-117
-                pf += strength * (cf[d] - pf)
-            pastiche_t = decs[d](pf)
-    assert not queue                                   # all rotations consumed
-    want = pastiche_t.numpy().transpose(0, 2, 3, 1)
+        for p, size in enumerate(sizes or [noise.shape[1]]):
+            st, ct = style_t, cont_t
+            if sizes is not None and pastiche_t.shape[-2] != size \
+                    and pastiche_t.shape[-1] != size:      # optex.py:47
+                st = ref_util.resize(style_t, ref_util.get_size(
+                    size, 1.0, style_t.shape[2], style_t.shape[3]))
+                csz = ref_util.get_size(size, 1.0, cont_t.shape[2],
+                                        cont_t.shape[3], oversize=True)
+                ct = ref_util.resize(cont_t, csz)
+                pastiche_t = ref_util.resize(pastiche_t, csz)
+            sf, cf = {}, {}
+            for d in (3, 2, 1):
+                sf[d] = encs[d](st)
+                c_ = encs[d](ct)
+                cf[d] = c_ - c_.mean() + sf[d].mean()      # optex.py:76
+            for l, d in enumerate((3, 2, 1)):
+                pf = encs[d](pastiche_t)
+                for _ in range(iters[l]):
+                    pf = ref_optex.optimal_transport(pf, sf[d], mode)
+                    strength = cs / 2 ** (4 - l)           # optex.py:115-117
+                    pf += strength * (cf[d] - pf)
+                pastiche_t = decs[d](pf)
+    assert not queue                                       # all consumed
+    return pastiche_t.numpy().transpose(0, 2, 3, 1)
 
-    # --- our side: the real Synthesizer with the rotation stream injected
-    fake_rots = {n: jnp.asarray(v) for n, v in per_layer.items()}
+
+def _our_pass(style, content, noise, iters, cs, mode, monkeypatch, *,
+              passes, size, no_multires, sizes=None):
+    """The real Synthesizer with the same rotation stream injected (per-pass
+    via the fold_in(run_key, p) pass keys — distinguished by closure state)."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+
+    stream = _rotation_stream(iters, passes)
+    # each pass's stage program traces once (per-pass shapes differ), calling
+    # stage_rotations once per layer in deep->shallow order — a strict
+    # call-order counter maps calls onto the shared stream
+    order = [(p, w) for p in range(passes) for w in (256, 128, 64)]
+    call_idx = [0]
+
+    def fake_stage_rotations(key, n_iters, n):
+        p, w = order[call_idx[0]]
+        call_idx[0] += 1
+        assert w == n, (p, w, n)
+        return jnp.asarray(stream[(p, n)])
+
     core._pass_stages_jit.clear_cache()
     try:
         monkeypatch.setattr("optimaltextures_tpu.transport.stage_rotations",
-                            lambda key, n_iters, n: fake_rots[n])
-        cfg = OptexConfig(size=64, passes=1, iters=9, no_multires=True,
-                          depth=3, seed=0, no_pca=True, content_strength=cs,
+                            fake_stage_rotations)
+        cfg = OptexConfig(size=size, passes=passes, iters=sum(iters) * passes,
+                          no_multires=no_multires, depth=3, seed=0,
+                          no_pca=True, content_strength=cs, hist_mode=mode,
                           style=["graffiti.jpg"])
         synth = core.Synthesizer(cfg)
-        synth.iters_table = [iters]
+        synth.iters_table = [list(iters)] * passes
+        if sizes is not None:
+            synth.sizes = list(sizes)
         got = np.asarray(synth.run(jnp.asarray(noise), [jnp.asarray(style)],
                                    jnp.asarray(content)))
     finally:
         core._pass_stages_jit.clear_cache()  # drop the injected-trace program
-
-    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    return got
 
 
 # --- scheduler / geometry / naming ------------------------------------------
