@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--steady", action="store_true",
                     help="run each config twice and report the second "
                          "(in-process steady state, no compile/cache-load)")
+    ap.add_argument("--conv_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="float32 = strict parity config; bfloat16 = the "
+                         "serving/bench config")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +61,8 @@ def main() -> None:
     keys = args.only.split(",") if args.only else list(CONFIGS)
     for name in keys:
         kw = CONFIGS[name]
-        cfg = OptexConfig(seed=0, output_dir=args.out, **kw)
+        cfg = OptexConfig(seed=0, output_dir=args.out,
+                          conv_dtype=args.conv_dtype, **kw)
         try:
             out, seconds, paths = api.run_files(cfg)
             if args.steady:
