@@ -67,6 +67,21 @@ def transfer_color(style: str, content: str, mode: str = "opt",
     return out
 
 
+def synthesize_style_batch(styles: List[str], size: int = 512,
+                           num_devices: int = 0, **overrides) -> np.ndarray:
+    """Style-PARALLEL synthesis: one texture per style, one style per device
+    (collective-free throughput scaling — the serving transpose of the
+    reference's joint-stats ``--batch``). Styles must load to one shape.
+    ``num_devices`` defaults to len(styles). Returns (N, H, W, 3)."""
+    from .parallel.mesh import make_mesh
+    from .parallel.style_dp import synthesize_styles
+
+    cfg = OptexConfig(style=styles[:1], size=size, no_pca=True, **overrides)
+    imgs = [imageio.load_image(s, size, oversize=False) for s in styles]
+    mesh = make_mesh(num_devices or len(styles))
+    return np.asarray(synthesize_styles(cfg, imgs, mesh))
+
+
 def config_from_args(args) -> OptexConfig:
     """Build a config from an argparse Namespace with matching field names."""
     fields = {f.name for f in dataclasses.fields(OptexConfig)}
