@@ -372,11 +372,12 @@ class Synthesizer:
             masks = tuple(None for _ in true)
         return widths, masks
 
-    def _finish_pass_prep(self, spectra, cont, ks, k_masks, pass_key,
-                          n_styles: int):
-        """After the k-decisions: fused stats, mixing, content prep.
-        ``ks`` are static program widths (bucketed when pca_bucket > 0);
-        ``k_masks`` the traced true ranks (None entries when exact)."""
+    def _finish_style_prep(self, spectra, ks, k_masks, pass_key,
+                           n_styles: int):
+        """After the k-decisions: fused stats (+ mixing). ``ks`` are static
+        program widths (bucketed when pca_bucket > 0); ``k_masks`` the traced
+        true ranks (None entries when exact). Returns
+        [(eigvecs, stats, scalar style mean)] per depth (deepest first)."""
         cfg = self.cfg
         need_samples = cfg.hist_mode in ("cdf", "sort")
         prepared = _style_stats_pass_jit(
@@ -402,17 +403,21 @@ class Synthesizer:
                                 _restat_jit(sf, need_samples=need_samples), mean))
             prepared = remixed
 
-        content_feats = [None] * len(prepared)
+        return [(eigvecs, stats, mean) for (_, eigvecs, stats, mean) in prepared]
+
+    def _assemble_targets(self, slim, cont, k_masks):
+        """Finished style targets + (per-run) content prep -> LayerTargets."""
+        cfg = self.cfg
+        content_feats = [None] * len(slim)
         if cont is not None:
             content_feats = _content_prep_pass_jit(
                 self.bank.enc_params[self.depth], cont,
-                tuple(p[1] for p in prepared), tuple(p[3] for p in prepared),
+                tuple(s[0] for s in slim), tuple(s[2] for s in slim),
                 tuple(k_masks), depth=self.depth, use_pca=not cfg.no_pca)
-
         return [
             LayerTargets(stats=stats, eigvecs=eigvecs, content=cf, k_mask=km)
-            for (sf, eigvecs, stats, _), cf, km in zip(prepared, content_feats,
-                                                       k_masks)
+            for (eigvecs, stats, _), cf, km in zip(slim, content_feats,
+                                                   k_masks)
         ]
 
     # -- main loop -------------------------------------------------------------
@@ -483,8 +488,10 @@ class Synthesizer:
             elif ck in local:
                 entry = local[ck]
             else:
+                # slots: [spectra, widths, masks, cache key, finished slim
+                # targets (single-style only; supersedes spectra once built)]
                 entry = [self._dispatch_style_prep(styles, size, rs), None,
-                         None, full]
+                         None, full, None]
                 local[ck] = entry
                 pending.append(entry)
             entries.append(entry)
@@ -524,9 +531,19 @@ class Synthesizer:
                 print(f"Pass {p}, size {self.sizes[p]}", flush=True)
             pass_key = jax.random.fold_in(run_key, p)
             t0 = time.time()
-            targets = self._finish_pass_prep(entries[p][0], conts[p], kss[p],
-                                             masks_all[p], pass_key,
-                                             len(styles))
+            e = entries[p]
+            if e[4] is not None:
+                slim = e[4]
+            else:
+                slim = self._finish_style_prep(e[0], kss[p], masks_all[p],
+                                               pass_key, len(styles))
+                if len(styles) == 1:
+                    # single-style finished targets are pass_key-free: share
+                    # across passes and (with a token) across runs; the raw
+                    # spectra are superseded — free their device memory
+                    e[4] = slim
+                    e[0] = None
+            targets = self._assemble_targets(slim, conts[p], masks_all[p])
             _, do_resize, cont_size = plan[p]
             if do_resize:
                 pastiche = _resize_jit(pastiche, size=cont_size)
