@@ -539,10 +539,8 @@ class Synthesizer:
                                                pass_key, len(styles))
                 if len(styles) == 1:
                     # single-style finished targets are pass_key-free: share
-                    # across passes and (with a token) across runs; the raw
-                    # spectra are superseded — free their device memory
+                    # across passes and (with a token) across runs
                     e[4] = slim
-                    e[0] = None
             targets = self._assemble_targets(slim, conts[p], masks_all[p])
             _, do_resize, cont_size = plan[p]
             if do_resize:
@@ -643,6 +641,15 @@ class Synthesizer:
                                          n_iters=3, use_pallas=use_pallas)
             else:  # "lum"
                 pastiche = target
+
+        # persistent cache entries: the finished slim targets supersede the
+        # raw spectra — free them, but only NOW: dropping device buffers
+        # mid-run issues delete RPCs that serialize against stage dispatches
+        # through the axon tunnel (~5 ms each, measured +0.1 s per cold run)
+        if styles_token is not None:
+            for e in {id(e2): e2 for e2 in entries}.values():
+                if e[4] is not None:
+                    e[0] = None
 
         return pastiche
 
