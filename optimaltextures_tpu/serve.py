@@ -78,6 +78,56 @@ def _decode_image(b64: str, size: int, oversize: bool) -> np.ndarray:
     return (np.asarray(img, dtype=np.float32) / 255.0)[None]
 
 
+def _pack_path(synth, token: str):
+    """On-disk style-pack location under $OPTEX_PACK_DIR (None = disabled).
+    The config signature is part of the name, so one style served under
+    several configs keeps separate packs."""
+    import hashlib
+    import os
+
+    d = os.environ.get("OPTEX_PACK_DIR")
+    if not d:
+        return None
+    from .utils.stylepack import _signature
+
+    sig = hashlib.sha256(repr(_signature(synth)).encode()).hexdigest()[:12]
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"pack_{sig}_{token}.npz")
+
+
+def _maybe_import_pack(synth, token: str) -> None:
+    """Warm-start: load a persisted style pack on a cold in-memory cache."""
+    import os
+
+    path = _pack_path(synth, token)
+    if path is None or not os.path.exists(path):
+        return
+    if any(k[0] == token for k in synth._style_prep_cache):
+        return  # already warm in memory
+    from .utils.stylepack import import_style_pack
+
+    try:
+        import_style_pack(synth, token, path)
+    except (ValueError, KeyError, OSError):  # corrupt/mismatched pack: redo
+        os.remove(path)
+
+
+def _maybe_export_pack(synth, token: str, n_styles: int) -> None:
+    """Persist the finished targets after the first run of a new style.
+    Mixing (2 styles) draws a fresh mask per run — nothing cacheable."""
+    import os
+
+    path = _pack_path(synth, token)
+    if path is None or n_styles > 1 or os.path.exists(path):
+        return
+    from .utils.stylepack import export_style_pack
+
+    try:
+        export_style_pack(synth, token, path)
+    except ValueError:  # nothing finished (shouldn't happen post-run)
+        pass
+
+
 def handle_synthesize(pool: SynthesizerPool, payload: dict):
     """Run one request; returns (content_type, body bytes).
 
@@ -98,11 +148,18 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
     if payload.get("content_b64"):
         content = _decode_image(payload["content_b64"], cfg.size, oversize=False)
 
+    # stable (process-independent) style identity: used for the in-memory
+    # prep cache AND as the on-disk style-pack filename
+    import hashlib
+
+    token = hashlib.sha256("\x00".join(styles_b64).encode()).hexdigest()[:24]
+
     with pool.lock:
         import jax
         import jax.numpy as jnp
 
         synth = pool.get(cfg)
+        _maybe_import_pack(synth, token)
         if content is not None:
             shape = content.shape
         else:
@@ -117,8 +174,9 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
         # style conv/eigh device work + the k-decision sync (prep cache)
         out = synth.run(noise, [jnp.asarray(s) for s in styles],
                         jnp.asarray(content) if content is not None else None,
-                        key=run_key, styles_token=hash(tuple(styles_b64)))
+                        key=run_key, styles_token=token)
         batch = np.clip(np.asarray(out), 0.0, 1.0)
+        _maybe_export_pack(synth, token, n_styles=len(styles_b64))
 
     from PIL import Image
 

@@ -128,6 +128,31 @@ def test_extended_config_fields_accepted(server):
     assert ctype == "image/png" and body[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_style_pack_persistence(tmp_path, monkeypatch):
+    """With OPTEX_PACK_DIR set, the first request for a style exports a pack;
+    a cold pool (fresh-process simulation) imports it and serves with ZERO
+    style-prep dispatches, byte-identically for a fixed seed."""
+    from optimaltextures_tpu import core
+
+    monkeypatch.setenv("OPTEX_PACK_DIR", str(tmp_path))
+    payload = {
+        "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                   "depth": 2, "seed": 3},
+        "style_b64": [_style_b64()],
+    }
+    _, a = serve.handle_synthesize(serve.SynthesizerPool(), payload)
+    packs = list(tmp_path.glob("pack_*.npz"))
+    assert len(packs) == 1
+
+    calls = []
+    orig = core.Synthesizer._dispatch_style_prep
+    monkeypatch.setattr(core.Synthesizer, "_dispatch_style_prep",
+                        lambda self, *args: calls.append(1) or orig(self, *args))
+    _, b = serve.handle_synthesize(serve.SynthesizerPool(), payload)
+    assert calls == []           # warm-started entirely from the pack
+    assert a == b                # seeded -> byte-identical across processes
+
+
 def test_synthesize_with_content(server):
     with open("/root/reference/content/rocket.jpg", "rb") as f:
         content_b64 = base64.b64encode(f.read()).decode()
