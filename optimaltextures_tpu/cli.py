@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="depth<5 content-matching rule: 'index' = the "
                         "reference's literal l<=2 positions, 'depth' = "
                         "anchor at VGG depths >= 3 (identical at depth 5)")
+    p.add_argument("--tileable", action="store_true",
+                   help="seamlessly tileable synthesis: circular conv "
+                        "padding + wrap-tap multires resize on the pastiche "
+                        "path (extension beyond the reference)")
     p.add_argument("--conv_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv stack compute dtype (bfloat16 = faster MXU)")

@@ -45,6 +45,13 @@ class OptexConfig:
     # parity is unaffected once the conv4/5 checkpoints land; this flag pins
     # the depth<5 semantics explicitly (r1 VERDICT #9).
     content_anchor: str = "index"     # index | depth
+    # Tileable synthesis (extension beyond the reference): the pastiche's
+    # conv stacks use circular (wrap) padding instead of reflection and the
+    # multires upsample wraps its kernel taps, making the pipeline
+    # translation-equivariant on the torus — the output tiles seamlessly.
+    # Style/content encoding keeps reflection padding (they are photographs,
+    # not tori). Single-device path only.
+    tileable: bool = False
 
     # --- performance ---------------------------------------------------------
     # Compute dtype for the conv encode/decode stacks. The OT statistics
@@ -86,6 +93,9 @@ class OptexConfig:
         if self.content_anchor not in ("index", "depth"):
             raise ValueError(
                 f"content_anchor must be index|depth, got {self.content_anchor!r}")
+        if self.tileable and (self.num_devices > 1 or self.spatial_devices > 1):
+            raise ValueError("tileable synthesis runs single-device (the "
+                             "sharded conv stages assume reflection halos)")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "

@@ -60,9 +60,9 @@ def _encode_jit(params, depth: int, img):
     return encode(params, depth, img)
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _resize_jit(img, *, size):
-    return resize_nhwc(img, size)
+@partial(jax.jit, static_argnames=("size", "circular"))
+def _resize_jit(img, *, size, circular: bool = False):
+    return resize_nhwc(img, size, circular=circular)
 
 
 @partial(jax.jit, static_argnames=("depth", "use_pca"))
@@ -168,18 +168,22 @@ def _restat_jit(sf, *, need_samples: bool):
 
 @partial(jax.jit,
          static_argnames=("depths", "iters", "mode", "strengths", "pca_flags",
-                          "use_pallas"),
+                          "use_pallas", "pad_mode"),
          donate_argnums=(2,))
 def _pass_stages_jit(enc_params, dec_params, pastiche, targets, key, *,
                      depths, iters, mode: str, strengths, pca_flags,
-                     use_pallas=None):
+                     use_pallas=None, pad_mode: str = "reflect"):
     """ALL of a pass's layer stages in ONE program: for each depth (deepest
     first) encode -> project -> OT loop -> unproject -> decode, the decoded
     image feeding the next stage directly on-device. One dispatch per pass
     instead of one per (pass, layer) — on this host, dispatch gaps between
-    stages were a measurable slice of wall time."""
+    stages were a measurable slice of wall time.
+
+    ``pad_mode="wrap"`` = tileable synthesis (circular conv padding on the
+    pastiche path only; style/content statistics are global, so the OT loop
+    itself is shift-invariant already)."""
     for i, d in enumerate(depths):
-        feat = encode(enc_params[i], d, pastiche).astype(jnp.float32)
+        feat = encode(enc_params[i], d, pastiche, pad_mode).astype(jnp.float32)
         if pca_flags[i]:
             feat = jnp.matmul(feat, targets[i].eigvecs,
                               precision=jax.lax.Precision.HIGHEST)
@@ -190,7 +194,8 @@ def _pass_stages_jit(enc_params, dec_params, pastiche, targets, key, *,
         if pca_flags[i]:
             feat = jnp.matmul(feat, targets[i].eigvecs.T,
                               precision=jax.lax.Precision.HIGHEST)
-        pastiche = decode(dec_params[i], d, feat.astype(pastiche.dtype))
+        pastiche = decode(dec_params[i], d, feat.astype(pastiche.dtype),
+                          pad_mode)
     return pastiche
 
 
@@ -544,7 +549,8 @@ class Synthesizer:
             targets = self._assemble_targets(slim, conts[p], masks_all[p])
             _, do_resize, cont_size = plan[p]
             if do_resize:
-                pastiche = _resize_jit(pastiche, size=cont_size)
+                pastiche = _resize_jit(pastiche, size=cont_size,
+                                       circular=cfg.tileable)
             if timing:
                 jax.block_until_ready([pastiche] + [t.stats.cov_raw for t in targets])
                 print(f"  pass prep: {(time.time()-t0)*1000:.1f} ms", flush=True)
@@ -624,7 +630,8 @@ class Synthesizer:
                     iters=tuple(int(i) for i in self.iters_table[p]),
                     mode=cfg.hist_mode, strengths=tuple(strengths),
                     pca_flags=tuple(t.eigvecs is not None for t in adj),
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas,
+                    pad_mode="wrap" if cfg.tileable else "reflect")
                 pastiche = pastiche.astype(jnp.float32)
                 if timing:
                     pastiche.block_until_ready()

@@ -19,27 +19,34 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.convops import conv2d_nhwc, maxpool_2x2_ceil, reflect_pad, upsample_nearest_2x
+from ..ops.convops import (conv2d_nhwc, maxpool_2x2_ceil, pad_spatial,
+                           reflect_pad, upsample_nearest_2x)
 from . import arch, weights
 
 
-def _run_stack(params, specs, x: jnp.ndarray) -> jnp.ndarray:
+def _run_stack(params, specs, x: jnp.ndarray,
+               pad_mode: str = "reflect") -> jnp.ndarray:
     for (w, b), (_, _, k, pre, post) in zip(params, specs):
         if pre == "pool":
             x = maxpool_2x2_ceil(x)
         elif pre == "up":
             x = upsample_nearest_2x(x)
         if k == 3:
-            x = reflect_pad(x, 1)
+            x = pad_spatial(x, 1, pad_mode)
         x = conv2d_nhwc(x, w, b)
         if post == "relu":
             x = jax.nn.relu(x)
     return x
 
 
-def encode(params, depth: int, image: jnp.ndarray) -> jnp.ndarray:
-    """NHWC image -> relu{depth}_1 NHWC features."""
-    return _run_stack(params, arch.encoder_specs(depth), image)
+def encode(params, depth: int, image: jnp.ndarray,
+           pad_mode: str = "reflect") -> jnp.ndarray:
+    """NHWC image -> relu{depth}_1 NHWC features.
+
+    ``pad_mode="wrap"`` replaces the reference's reflection padding with
+    circular padding (tileable synthesis, an extension — see
+    ``ops.convops.circular_pad``)."""
+    return _run_stack(params, arch.encoder_specs(depth), image, pad_mode)
 
 
 def encode_taps(params, depth: int, image: jnp.ndarray):
@@ -68,10 +75,11 @@ def encode_taps(params, depth: int, image: jnp.ndarray):
     return taps
 
 
-def decode(params, depth: int, feature: jnp.ndarray) -> jnp.ndarray:
+def decode(params, depth: int, feature: jnp.ndarray,
+           pad_mode: str = "reflect") -> jnp.ndarray:
     """relu{depth}_1 NHWC features -> NHWC image (unclamped, like the
     reference's final conv with no activation, ``vgg.py:130-134``)."""
-    return _run_stack(params, arch.decoder_specs(depth), feature)
+    return _run_stack(params, arch.decoder_specs(depth), feature, pad_mode)
 
 
 class VGGBank:

@@ -20,6 +20,26 @@ def reflect_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def circular_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
+    """Circular (wrap) padding of the two spatial dims of an NHWC tensor.
+
+    Extension beyond the reference: swapping the conv stacks'
+    ``ReflectionPad2d`` (``/root/reference/vgg.py:14-135``) for wrap padding
+    makes the whole encode/decode pipeline translation-equivariant on the
+    torus, so synthesized textures tile seamlessly (``OptexConfig.tileable``).
+    """
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="wrap")
+
+
+def pad_spatial(x: jnp.ndarray, pad: int, mode: str) -> jnp.ndarray:
+    """``reflect`` (reference semantics) or ``wrap`` (tileable) padding."""
+    if mode == "reflect":
+        return reflect_pad(x, pad)
+    if mode == "wrap":
+        return circular_pad(x, pad)
+    raise ValueError(f"pad mode must be reflect|wrap, got {mode!r}")
+
+
 def conv2d_nhwc(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """VALID 2-D conv, NHWC activations, HWIO weights, stride 1."""
     # float32 activations use full-precision MXU passes (TPU otherwise

@@ -66,14 +66,55 @@ def resample_matrix(in_size: int, out_size: int) -> np.ndarray:
     return W.astype(np.float32)
 
 
-def resize_nhwc(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bicubic+antialias resize of NHWC to (H, W), torch-parity semantics."""
+@lru_cache(maxsize=256)
+def resample_matrix_circular(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) bicubic-antialias resampling matrix on the circle.
+
+    Same kernel/tap convention as :func:`resample_matrix`, but taps that fall
+    outside [0, in_size) wrap around instead of being truncated+renormalized
+    at the border — every output sees the full kernel support, so resampling
+    commutes with circular shifts (used by tileable synthesis for the
+    multires pastiche upsample; an extension beyond the reference's
+    ``F.interpolate``, ``/root/reference/util.py:105-106``)."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    scale = in_size / out_size
+    support = 2.0 * scale if scale > 1.0 else 2.0
+    invscale = 1.0 / scale if scale > 1.0 else 1.0
+
+    i = np.arange(out_size, dtype=np.float64)
+    center = (i + 0.5) * scale
+    # floor, NOT the int cast of the border-truncated variant: windows near
+    # o=0 start at negative taps, and truncation toward zero would give those
+    # rows a different window length than interior rows — breaking the
+    # row-shift structure that makes resampling commute with rolls
+    xmin = np.floor(center - support + 0.5).astype(np.int64)
+    xmax = np.floor(center + support + 0.5).astype(np.int64)
+
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    for o in range(out_size):
+        j = np.arange(xmin[o], xmax[o])
+        w = _bicubic_kernel((j - center[o] + 0.5) * invscale)
+        s = w.sum()
+        if s != 0.0:
+            w = w / s
+        np.add.at(W[o], j % in_size, w)
+    return W.astype(np.float32)
+
+
+def resize_nhwc(x: jnp.ndarray, size: Tuple[int, int],
+                circular: bool = False) -> jnp.ndarray:
+    """Bicubic+antialias resize of NHWC to (H, W), torch-parity semantics.
+
+    ``circular=True`` wraps out-of-range kernel taps instead of truncating
+    them at the border (shift-equivariant on the torus; tileable mode)."""
     h_out, w_out = size
     n, h_in, w_in, c = x.shape
     if (h_in, w_in) == (h_out, w_out):
         return x
-    wh = jnp.asarray(resample_matrix(h_in, h_out))
-    ww = jnp.asarray(resample_matrix(w_in, w_out))
+    mat = resample_matrix_circular if circular else resample_matrix
+    wh = jnp.asarray(mat(h_in, h_out))
+    ww = jnp.asarray(mat(w_in, w_out))
     # (N,H,W,C): contract H then W; both land on the MXU.
     y = jnp.einsum("oh,nhwc->nowc", wh, x, precision="highest")
     y = jnp.einsum("ow,nhwc->nhoc", ww, y, precision="highest")

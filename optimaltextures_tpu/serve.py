@@ -38,7 +38,7 @@ _CONFIG_FIELDS = {
     "content_strength", "style_scale", "mixing_alpha", "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
     "spatial_devices", "pca_bucket", "use_pallas", "compat_schedule_quirk",
-    "content_anchor",
+    "content_anchor", "tileable",
 }
 
 

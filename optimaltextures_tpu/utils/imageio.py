@@ -68,6 +68,8 @@ def output_name(cfg) -> str:
         parts += ["scale" + str(cfg.style_scale)]
     if cfg.color_transfer is not None:
         parts += [cfg.color_transfer]
+    if getattr(cfg, "tileable", False):   # extension: not in the reference codec
+        parts += ["tileable"]
     parts += [str(cfg.size)]
     return "_".join(parts)
 
