@@ -45,6 +45,16 @@ def main() -> None:
     api.transfer_color(f"{REF}/style/green-paint-large.jpg",
                        f"{REF}/content/city.jpg", mode="lum", **common)
 
+    # extensions beyond the reference:
+    # 5. seamlessly tileable texture (circular conv padding)
+    api.synthesize_texture(f"{REF}/style/graffiti.jpg", tileable=True,
+                           **common)
+
+    # 6. three-style mixing with weights (reference caps at 2 styles)
+    api.mix_textures(f"{REF}/style/zebra.jpg", f"{REF}/style/pattern-small.jpg",
+                     f"{REF}/style/lava-small.jpg", weights=[0.4, 0.3, 0.3],
+                     **common)
+
     print("outputs in", args.outdir)
 
 

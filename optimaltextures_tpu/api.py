@@ -24,7 +24,7 @@ def run_files(cfg: OptexConfig, verbose: bool = False
     seconds, written paths)."""
     cfg = cfg.validate()
     styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
-    if len(styles) > 1 and styles[0].shape != styles[1].shape:
+    if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("Style images must have the same shape")
     content = imageio.maybe_load_content(cfg.content, cfg.size)
     out, seconds = core.synthesize(cfg, styles, content, verbose=verbose)
@@ -49,10 +49,16 @@ def transfer_style(style: str, content: str, size: int = 512,
     return out
 
 
-def mix_textures(style_a: str, style_b: str, alpha: float = 0.5,
-                 size: int = 512, **overrides) -> np.ndarray:
-    """Texture mixing of two styles with a random spatial mask."""
-    cfg = OptexConfig(style=[style_a, style_b], mixing_alpha=alpha, size=size,
+def mix_textures(style_a: str, style_b: str, *more_styles: str,
+                 alpha: float = 0.5, weights=None, size: int = 512,
+                 **overrides) -> np.ndarray:
+    """Texture mixing with a random spatial mask.
+
+    Two styles reproduce the reference's alpha blend exactly; three or more
+    (an extension — the reference caps at 2) mix by ``weights`` (one positive
+    weight per style, default uniform; see ``OptexConfig.mixing_weights``)."""
+    cfg = OptexConfig(style=[style_a, style_b, *more_styles],
+                      mixing_alpha=alpha, mixing_weights=weights, size=size,
                       **overrides)
     out, _, _ = run_files(cfg)
     return out

@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "optimal transport")
     p.add_argument("-s", "--style", type=str, nargs="+",
                    default=["style/graffiti.jpg"],
-                   help="1 or 2 style exemplar images (2 = texture mixing)")
+                   help="style exemplar images (2+ = texture mixing; the "
+                        "reference caps at 2, 3-8 is an extension)")
     p.add_argument("-c", "--content", type=str, default=None,
                    help="content image for style transfer")
     p.add_argument("--batch", type=int, default=1,
@@ -50,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="style detail scale relative to the output")
     p.add_argument("--mixing_alpha", type=float, default=0.5,
                    help="interpolation between 2 styles")
+    p.add_argument("--mixing_weights", type=float, nargs="+", default=None,
+                   help="one positive weight per style for 3+-style mixing "
+                        "(default uniform); with 2 styles overrides "
+                        "--mixing_alpha via the generalized blend")
     p.add_argument("--no_pca", action="store_true",
                    help="disable PCA feature reduction (slower)")
     p.add_argument("--no_multires", action="store_true",

@@ -23,6 +23,15 @@ class OptexConfig:
     content_strength: float = 0.01
     style_scale: float = 1.0
     mixing_alpha: float = 0.5
+    # N-style mixing weights (extension: the reference caps mixing at 2
+    # styles, optex.py:211-219). None = the reference's 2-style alpha
+    # semantics for 2 styles / uniform weights for 3+. When given (one
+    # positive weight per style, normalized internally), region i of a
+    # categorical spatial mask (P(i) = w_i) shows
+    # sum_j w_j * hist_match(S_i -> S_j) — which for N=2 with w=(1-a, a) is
+    # EXACTLY the reference blend (optex.py:193-206), so this is a strict
+    # generalization.
+    mixing_weights: Optional[List[float]] = None
     no_pca: bool = False
     no_multires: bool = False
     batch: int = 1                    # noise pastiches per run (ignored with content)
@@ -82,8 +91,16 @@ class OptexConfig:
                 f"hist_mode must be sym|pca|chol|cdf|sort, got {self.hist_mode!r}")
         if self.color_transfer not in (None, "lum", "opt"):
             raise ValueError(f"color_transfer must be lum|opt, got {self.color_transfer!r}")
-        if not 1 <= len(self.style) <= 2:
-            raise ValueError("between 1 and 2 style images required")
+        if not 1 <= len(self.style) <= 8:
+            raise ValueError("between 1 and 8 style images required "
+                             "(the reference caps at 2; 3+ is an extension)")
+        if self.mixing_weights is not None:
+            if len(self.mixing_weights) != len(self.style):
+                raise ValueError(
+                    f"mixing_weights needs one weight per style "
+                    f"({len(self.style)}), got {len(self.mixing_weights)}")
+            if any(w <= 0 for w in self.mixing_weights):
+                raise ValueError("mixing_weights must be positive")
         if self.passes < 1 or self.iters < 1 or self.size < 32 or self.batch < 1:
             raise ValueError("passes/iters/size/batch out of range")
         if self.conv_dtype not in ("float32", "bfloat16"):

@@ -209,6 +209,28 @@ def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
            (btoa * (1 - alpha) + b * alpha) * (1 - mask)
 
 
+@partial(jax.jit, static_argnames=("mode", "weights"))
+def _mix_multi_jit(sfs, mask_onehot, *, mode: str, weights):
+    """N-style mixing (extension beyond the reference's 2-style cap).
+
+    Region i of the categorical mask shows
+    ``sum_j w_j * hist_match(S_i -> S_j)`` — each style's feature map pulled
+    toward every style's histogram in proportion to its weight. For N=2 with
+    weights (1-alpha, alpha) this reduces EXACTLY to the reference blend
+    (optex.py:193-206): region A shows A*(1-a) + AtoB*a, region B shows
+    BtoA*(1-a) + B*a (regression-tested against :func:`_mix_pair_jit`).
+
+    ``sfs``: tuple of N (1, H, W, C) maps; ``mask_onehot``: (1, H, W, N).
+    """
+    out = jnp.zeros_like(sfs[0])
+    for i, si in enumerate(sfs):
+        fi = jnp.zeros_like(si)
+        for j, w in enumerate(weights):
+            fi = fi + w * (si if j == i else histmatch.hist_match(si, sfs[j], mode))
+        out = out + fi * mask_onehot[..., i:i + 1]
+    return out
+
+
 @partial(jax.jit, static_argnames=("n_iters", "use_pallas"))
 def _pixel_ot_jit(pastiche, target, key, *, n_iters: int, use_pallas=None):
     """Pixel-space sliced OT with cdf matching — the 'opt' color transfer
@@ -397,13 +419,30 @@ class Synthesizer:
         if n_styles > 1:
             mask_pos = 1 if len(prepared) > 1 else 0
             hw = prepared[mask_pos][0].shape[1:3]
-            u = jax.random.uniform(jax.random.fold_in(pass_key, 7919), hw)
-            mask = jnp.ceil(u - cfg.mixing_alpha)[None, :, :, None]
+            mask_key = jax.random.fold_in(pass_key, 7919)
+            if n_styles == 2 and cfg.mixing_weights is None:
+                # the reference's exact 2-style path (optex.py:97-101)
+                u = jax.random.uniform(mask_key, hw)
+                mask = jnp.ceil(u - cfg.mixing_alpha)[None, :, :, None]
+                mixer = lambda sf, m: _mix_pair_jit(
+                    sf[0:1], sf[1:2], m, mode=cfg.hist_mode,
+                    alpha=cfg.mixing_alpha)
+            else:
+                # N-style generalization (see _mix_multi_jit)
+                w = np.asarray(cfg.mixing_weights if cfg.mixing_weights
+                               else [1.0] * n_styles, dtype=np.float64)
+                w = tuple(float(x) for x in w / w.sum())
+                regions = jax.random.categorical(
+                    mask_key, jnp.log(jnp.asarray(w, jnp.float32)), shape=hw)
+                mask = jax.nn.one_hot(regions, n_styles,
+                                      dtype=jnp.float32)[None]
+                mixer = lambda sf, m: _mix_multi_jit(
+                    tuple(sf[i:i + 1] for i in range(n_styles)), m,
+                    mode=cfg.hist_mode, weights=w)
             remixed = []
             for (sf, eigvecs, stats, mean) in prepared:
                 m = resize_nearest_nhwc(mask, sf.shape[1:3])
-                sf = _mix_pair_jit(sf[0:1], sf[1:2], m,
-                                   mode=cfg.hist_mode, alpha=cfg.mixing_alpha)
+                sf = mixer(sf, m)
                 remixed.append((sf, eigvecs,
                                 _restat_jit(sf, need_samples=need_samples), mean))
             prepared = remixed
@@ -453,6 +492,10 @@ class Synthesizer:
         # the same array would then hit an invalidated buffer
         pastiche = jnp.array(pastiche, copy=True)
         styles = [jnp.asarray(s) for s in styles]
+        if any(s.shape != styles[0].shape for s in styles[1:]):
+            # mixing concatenates style batches (reference assert, optex.py:261)
+            raise ValueError("style images must have the same shape; got "
+                             f"{[tuple(s.shape) for s in styles]}")
         content = jnp.asarray(content) if content is not None else None
         use_pca = not cfg.no_pca
 

@@ -35,7 +35,8 @@ from .config import OptexConfig
 
 _CONFIG_FIELDS = {
     "size", "passes", "iters", "hist_mode", "color_transfer",
-    "content_strength", "style_scale", "mixing_alpha", "no_pca",
+    "content_strength", "style_scale", "mixing_alpha", "mixing_weights",
+    "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
     "spatial_devices", "pca_bucket", "use_pallas", "compat_schedule_quirk",
     "content_anchor", "tileable",
@@ -139,10 +140,10 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
     cfg = OptexConfig(**cfg_args).validate()
 
     styles_b64 = payload.get("style_b64") or []
-    if not 1 <= len(styles_b64) <= 2:
-        raise ValueError("style_b64 must contain 1 or 2 images")
+    if not 1 <= len(styles_b64) <= 8:
+        raise ValueError("style_b64 must contain 1-8 images")
     styles = [_decode_image(b, cfg.size, oversize=True) for b in styles_b64]
-    if len(styles) > 1 and styles[0].shape != styles[1].shape:
+    if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("style images must load to the same shape")
     content = None
     if payload.get("content_b64"):

@@ -56,7 +56,11 @@ def output_name(cfg) -> str:
     stem = lambda p: p.split("/")[-1].split(".")[0]
     parts = [stem(s) for s in cfg.style]
     if len(cfg.style) > 1:
-        parts += ["blend" + str(cfg.mixing_alpha)]
+        if getattr(cfg, "mixing_weights", None):
+            # extension: N-style weights replace the reference's alpha tag
+            parts += ["blendw" + "-".join(str(w) for w in cfg.mixing_weights)]
+        else:
+            parts += ["blend" + str(cfg.mixing_alpha)]
     if cfg.content is not None:
         parts += [stem(cfg.content), "strength" + str(cfg.content_strength)]
     parts += [cfg.hist_mode + "hist"]
