@@ -612,6 +612,10 @@ class Synthesizer:
                 else:  # "index": the reference's literal l <= 2 rule
                     has_content = tgt.content is not None and l <= 2
                     strength = cfg.content_strength / 2 ** (4 - l)
+                # feat += 0 * (cf - feat) is an exact no-op: drop the content
+                # target so zero-strength stages take the covariance-
+                # propagated loop
+                has_content = has_content and strength != 0.0
                 adj.append(tgt if has_content else
                            LayerTargets(tgt.stats, tgt.eigvecs, None,
                                         tgt.k_mask))

@@ -119,6 +119,35 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
+    if mode not in ("cdf", "sort") and content_feature is None:
+        # covariance-propagated loop (see transport.transport_loop): the
+        # joint covariance is psum'd ONCE, then propagated as M^T cov M —
+        # every iteration after that is collective-free (the per-iteration
+        # psum of the sample Gram disappears)
+        mu0, _, gram, n_local = _local_moments(feature)
+        cov0 = jax.lax.psum(gram, axis) / (n_local * jax.lax.psum(1, axis))
+        # mu0 is shard-varying (per-image local means); the carry's type must
+        # stay varying across iterations, so derive mu_s from it
+        mu_s = mu0 * 0.0 + style_mu
+
+        def body_prop(i, carry):
+            feat, mu, cov = carry
+            rot = rotations[i]
+            cov_t_rot = rot.T @ (cov @ rot)
+            cov_s_rot = rot.T @ (style_cov_raw @ rot)
+            a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, 1.0)
+            m = rot @ (a.T @ rot.T)
+            b, h, w, _ = feat.shape
+            xc = (feat - mu).reshape(-1, c)
+            feat = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c) + mu_s
+            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
+                             precision=HIGHEST)
+            return feat, mu_s, cov
+
+        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
+                                       (feature, mu0, cov0))
+        return feat
+
     def body(i, feat):
         rot = rotations[i]
         if mode == "cdf":

@@ -135,6 +135,31 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
+    if mode not in ("cdf", "sort") and content_feature is None:
+        # covariance-propagated loop (see transport.transport_loop): global
+        # moments psum ONCE, then propagate cov = M^T cov M — the sequence-
+        # parallel loop runs collective-free after the first reduction
+        mu0, _, cov0 = _global_moments(feature, axis)
+        mu_s = jnp.broadcast_to(style_mu, mu0.shape)
+
+        def body_prop(i, carry):
+            feat, mu, cov = carry
+            rot = rotations[i]
+            cov_t_rot = rot.T @ (cov @ rot)
+            cov_s_rot = rot.T @ (style_cov_raw @ rot)
+            a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, 1.0)
+            m = rot @ (a.T @ rot.T)
+            b, h, w, _ = feat.shape
+            xc = (feat - mu).reshape(-1, c)
+            feat = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c) + mu_s
+            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
+                             precision=HIGHEST)
+            return feat, mu_s, cov
+
+        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
+                                       (feature, mu0, cov0))
+        return feat
+
     def body(i, feat):
         rot = rotations[i]
         if mode == "cdf":

@@ -196,6 +196,42 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
+    import os
+
+    if (mode not in ("cdf", "sort") and content_feature is None
+            and os.environ.get("OPTEX_NO_COV_PROP") != "1"):
+        # Covariance-propagated fast path: after a moment step
+        # out = (x - mu_t) @ M + mu_s, the new statistics are known EXACTLY —
+        # mu = mu_s and cov = M^T cov M (the transform is affine) — so the
+        # per-iteration (B*H*W, C) covariance GEMM collapses to two C x C
+        # matmuls. One sample-sized GEMM per iteration instead of two; in
+        # exact arithmetic identical to recomputing from the data (the
+        # content pull breaks the closed form, so that path recomputes).
+        mu0, cov0 = histmatch.moment_stats(feature)
+        mu_s = jnp.broadcast_to(stats.mu, mu0.shape)
+
+        def body_prop(i, carry):
+            feat, mu, cov = carry
+            rot = rotations[i]
+            cov_t_rot = jnp.matmul(rot.T, jnp.matmul(cov, rot, precision=HIGHEST),
+                                   precision=HIGHEST)
+            cov_s_rot = jnp.matmul(rot.T,
+                                   jnp.matmul(stats.cov_raw, rot, precision=HIGHEST),
+                                   precision=HIGHEST)
+            a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+            m = jnp.matmul(rot, jnp.matmul(a.T, rot.T, precision=HIGHEST),
+                           precision=HIGHEST)
+            b, h, w, _ = feat.shape
+            xc = (feat - mu).reshape(-1, c)
+            feat = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c) + mu_s
+            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
+                             precision=HIGHEST)
+            return feat, mu_s, cov
+
+        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
+                                       (feature, mu0, cov0))
+        return feat
+
     def body(i, feat):
         rot = rotations[i]
         if mode in ("cdf", "sort"):

@@ -46,11 +46,15 @@ def _feat_hw(h: int, w: int, depth: int):
 
 
 def transport_loop_flops(n_samples: int, k: int, n_iters: int) -> float:
-    """Moment-mode OT loop: sample GEMMs + C x C iteration ops + rotations."""
-    per_iter = 2 * (2.0 * n_samples * k * k)     # pastiche Gram + apply
-    per_iter += 14.0 * k ** 3                    # congruences + chol + solve + fold
+    """Moment-mode OT loop (covariance-propagated): one initial sample Gram,
+    then per iteration ONE sample-sized apply GEMM + k x k ops (congruences +
+    transform + fold + the M^T cov M propagation), plus rotations."""
+    init = 2.0 * n_samples * k * k               # initial pastiche Gram
+    per_iter = 2.0 * n_samples * k * k           # apply GEMM
+    per_iter += 18.0 * k ** 3                    # congruences + chol + solve
+    #                                              + fold + cov propagation
     rotations = n_iters * (2.0 * _POLAR_ITERS * 2.0 * k ** 3)
-    return n_iters * per_iter + rotations
+    return init + n_iters * per_iter + rotations
 
 
 def run_flops(synth, pastiche_hw, style_hws, ks_per_pass) -> float:

@@ -166,3 +166,34 @@ def test_injected_rotation_parity_vs_numpy_oracle(rng):
     got = np.asarray(transport._moment_step_with_rot(
         jnp.asarray(rot), jnp.asarray(feat), stats, "chol", 1.0))
     np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("mode", ["chol", "pca", "sym"])
+def test_covariance_propagation_matches_recompute(mode, rng):
+    """The covariance-propagated transport_loop (cov' = M^T cov M, one sample
+    GEMM/iter) must match an explicit per-iteration recompute loop using the
+    SAME rotation stream — the propagation is exact in exact arithmetic; only
+    f32 reduction noise may accumulate."""
+    from optimaltextures_tpu.ops import histmatch
+    from optimaltextures_tpu.ops.rotation import stage_rotations
+
+    key = jax.random.key(9)
+    n_iters = 16
+    feat = jnp.asarray(rng.normal(1.0, 2.0, (2, 12, 12, 8)).astype(np.float32))
+    style = jnp.asarray(rng.normal(-0.5, 1.5, (1, 10, 10, 8)).astype(np.float32))
+    stats = transport.style_stats(style, need_samples=False)
+
+    got = np.asarray(transport.transport_loop(key, feat, stats, n_iters, mode))
+
+    # recompute-from-data oracle with the identical rotation stream
+    rotations = stage_rotations(key, n_iters, 8)
+    oracle = feat
+    for i in range(n_iters):
+        oracle = transport._moment_step_with_rot(rotations[i], oracle, stats,
+                                                 mode, 1.0)
+    np.testing.assert_allclose(got, np.asarray(oracle), rtol=2e-3, atol=2e-3)
+    # and the final cloud's moments really did land on the style's trajectory
+    _, cov_got = histmatch.moment_stats(jnp.asarray(got))
+    _, cov_oracle = histmatch.moment_stats(jnp.asarray(np.asarray(oracle)))
+    np.testing.assert_allclose(np.asarray(cov_got), np.asarray(cov_oracle),
+                               rtol=0, atol=2e-3)
