@@ -137,11 +137,13 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
     Raises ValueError on bad input."""
     cfg_args = {k: v for k, v in payload.get("config", {}).items()
                 if k in _CONFIG_FIELDS}
-    cfg = OptexConfig(**cfg_args).validate()
-
     styles_b64 = payload.get("style_b64") or []
     if not 1 <= len(styles_b64) <= 8:
         raise ValueError("style_b64 must contain 1-8 images")
+    # cfg.style carries only the COUNT here (images arrive as style_b64);
+    # validate() cross-checks it against mixing_weights
+    cfg = OptexConfig(style=["<b64>"] * len(styles_b64),
+                      **cfg_args).validate()
     styles = [_decode_image(b, cfg.size, oversize=True) for b in styles_b64]
     if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("style images must load to the same shape")

@@ -169,3 +169,35 @@ def test_synthesize_with_content(server):
     with urllib.request.urlopen(req) as r:
         png = r.read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_three_style_mixing_request(server):
+    """N-style mixing over HTTP (extension): 3 styles + weights."""
+    def b64(name):
+        with open(f"/root/reference/style/{name}.jpg", "rb") as f:
+            return base64.b64encode(f.read()).decode()
+
+    payload = {
+        "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                   "depth": 2, "seed": 1,
+                   "mixing_weights": [0.5, 0.3, 0.2]},
+        "style_b64": [b64("zebra"), b64("pattern-small"), b64("lava-small")],
+    }
+    req = urllib.request.Request(f"{server}/v1/synthesize",
+                                 data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        png = r.read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # 9 styles must be rejected, not crash
+    payload["style_b64"] = [b64("zebra")] * 9
+    payload["config"].pop("mixing_weights")
+    req = urllib.request.Request(f"{server}/v1/synthesize",
+                                 data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
