@@ -166,22 +166,27 @@ def _restat_jit(sf, *, need_samples: bool):
     return transport.StyleStats(mu, cov, samples)
 
 
-@partial(jax.jit,
-         static_argnames=("depths", "iters", "mode", "strengths", "pca_flags",
-                          "use_pallas", "pad_mode"),
-         donate_argnums=(2,))
-def _pass_stages_jit(enc_params, dec_params, pastiche, targets, key, *,
-                     depths, iters, mode: str, strengths, pca_flags,
-                     use_pallas=None, pad_mode: str = "reflect"):
-    """ALL of a pass's layer stages in ONE program: for each depth (deepest
-    first) encode -> project -> OT loop -> unproject -> decode, the decoded
-    image feeding the next stage directly on-device. One dispatch per pass
-    instead of one per (pass, layer) — on this host, dispatch gaps between
-    stages were a measurable slice of wall time.
+def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
+                      depths, iters, mode: str, strengths, pca_flags,
+                      use_pallas=None, pad_mode: str = "reflect",
+                      resize_to=None, resize_circular: bool = False):
+    """ALL of a pass's layer stages in ONE program: the pass's multires
+    resize (``resize_to``, in float32 — parity with the standalone step),
+    the f32<->conv_dtype casts, and for each depth (deepest first)
+    encode -> project -> OT loop -> unproject -> decode, the decoded image
+    feeding the next stage directly on-device. One dispatch per pass instead
+    of one per (pass, layer) plus resize/cast dispatches — on this host,
+    dispatch gaps between device ops were a measurable slice of wall time
+    (the warm serving path is dispatch-bound, not device-bound; see
+    docs/PERF.md).
 
     ``pad_mode="wrap"`` = tileable synthesis (circular conv padding on the
     pastiche path only; style/content statistics are global, so the OT loop
-    itself is shift-invariant already)."""
+    itself is shift-invariant already). Takes and returns float32."""
+    if resize_to is not None:
+        pastiche = resize_nhwc(pastiche, resize_to, circular=resize_circular)
+    conv_dtype = enc_params[0][0][0].dtype
+    pastiche = pastiche.astype(conv_dtype)
     for i, d in enumerate(depths):
         feat = encode(enc_params[i], d, pastiche, pad_mode).astype(jnp.float32)
         if pca_flags[i]:
@@ -196,7 +201,17 @@ def _pass_stages_jit(enc_params, dec_params, pastiche, targets, key, *,
                               precision=jax.lax.Precision.HIGHEST)
         pastiche = decode(dec_params[i], d, feat.astype(pastiche.dtype),
                           pad_mode)
-    return pastiche
+    return pastiche.astype(jnp.float32)
+
+
+_PASS_STATICS = ("depths", "iters", "mode", "strengths", "pca_flags",
+                 "use_pallas", "pad_mode", "resize_to", "resize_circular")
+# resize passes change the buffer shape, so donation can't apply there (and
+# jax warns); gate-skip passes donate the same-shape pastiche buffer
+_pass_stages_jit = partial(jax.jit, static_argnames=_PASS_STATICS,
+                           donate_argnums=(2,))(_pass_stages_impl)
+_pass_stages_jit_resize = partial(jax.jit,
+                                  static_argnames=_PASS_STATICS)(_pass_stages_impl)
 
 
 @partial(jax.jit, static_argnames=("mode", "alpha"))
@@ -591,7 +606,10 @@ class Synthesizer:
                     e[4] = slim
             targets = self._assemble_targets(slim, conts[p], masks_all[p])
             _, do_resize, cont_size = plan[p]
-            if do_resize:
+            # single-device runs fuse the resize into the pass program (one
+            # dispatch per pass); the sharded paths resize standalone
+            fuse_resize = self.mesh is None and self.space_mesh is None
+            if do_resize and not fuse_resize:
                 pastiche = _resize_jit(pastiche, size=cont_size,
                                        circular=cfg.tileable)
             if timing:
@@ -668,18 +686,20 @@ class Synthesizer:
                     for d in self.layer_depths:
                         print(f"Layer: relu{d}_1", flush=True)
                 t0 = time.time()
-                conv_dtype = self.bank.enc_params[self.depth][0][0].dtype
-                pastiche = _pass_stages_jit(
+                stage_fn = _pass_stages_jit_resize if do_resize else \
+                    _pass_stages_jit
+                pastiche = stage_fn(
                     tuple(self.bank.enc_params[d] for d in self.layer_depths),
                     tuple(self.bank.dec_params[d] for d in self.layer_depths),
-                    pastiche.astype(conv_dtype), tuple(adj), pass_key,
+                    pastiche, tuple(adj), pass_key,
                     depths=tuple(self.layer_depths),
                     iters=tuple(int(i) for i in self.iters_table[p]),
                     mode=cfg.hist_mode, strengths=tuple(strengths),
                     pca_flags=tuple(t.eigvecs is not None for t in adj),
                     use_pallas=use_pallas,
-                    pad_mode="wrap" if cfg.tileable else "reflect")
-                pastiche = pastiche.astype(jnp.float32)
+                    pad_mode="wrap" if cfg.tileable else "reflect",
+                    resize_to=cont_size if do_resize else None,
+                    resize_circular=cfg.tileable)
                 if timing:
                     pastiche.block_until_ready()
                     print(f"  pass stages: {(time.time()-t0)*1000:.1f} ms",

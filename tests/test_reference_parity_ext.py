@@ -309,6 +309,7 @@ def _our_pass(style, content, noise, iters, cs, mode, monkeypatch, *,
         return jnp.asarray(stream[(p, n)])
 
     core._pass_stages_jit.clear_cache()
+    core._pass_stages_jit_resize.clear_cache()
     try:
         monkeypatch.setattr("optimaltextures_tpu.transport.stage_rotations",
                             fake_stage_rotations)
@@ -323,7 +324,8 @@ def _our_pass(style, content, noise, iters, cs, mode, monkeypatch, *,
         got = np.asarray(synth.run(jnp.asarray(noise), [jnp.asarray(style)],
                                    jnp.asarray(content)))
     finally:
-        core._pass_stages_jit.clear_cache()  # drop the injected-trace program
+        core._pass_stages_jit.clear_cache()  # drop the injected-trace programs
+        core._pass_stages_jit_resize.clear_cache()
     return got
 
 
