@@ -27,7 +27,17 @@ def run_files(cfg: OptexConfig, verbose: bool = False
     if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("Style images must have the same shape")
     content = imageio.maybe_load_content(cfg.content, cfg.size)
-    out, seconds = core.synthesize(cfg, styles, content, verbose=verbose)
+    pastiche = None
+    if cfg.init is not None:
+        pastiche = imageio.load_image(cfg.init, cfg.size, oversize=False)
+        if content is not None and pastiche.shape != content.shape:
+            raise ValueError(
+                f"--init image loads to {tuple(pastiche.shape)} but the "
+                f"content loads to {tuple(content.shape)}; they must match")
+        if cfg.batch > 1 and content is None:
+            pastiche = np.repeat(pastiche, cfg.batch, axis=0)
+    out, seconds = core.synthesize(cfg, styles, content, pastiche=pastiche,
+                                   verbose=verbose)
     out_np = np.asarray(out)
     paths = imageio.save_images(out_np, cfg)
     return out_np, seconds, paths

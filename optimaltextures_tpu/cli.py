@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference caps at 2, 3-8 is an extension)")
     p.add_argument("-c", "--content", type=str, default=None,
                    help="content image for style transfer")
+    p.add_argument("--init", type=str, default=None,
+                   help="starting pastiche image instead of noise "
+                        "(re-texture/refine; extension beyond the reference)")
     p.add_argument("--batch", type=int, default=1,
                    help="number of noise pastiches to synthesize at once")
     p.add_argument("--size", type=int, default=512, help="output size")

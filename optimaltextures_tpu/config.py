@@ -83,6 +83,11 @@ class OptexConfig:
     # --- I/O -----------------------------------------------------------------
     style: List[str] = dataclasses.field(default_factory=lambda: ["style/graffiti.jpg"])
     content: Optional[str] = None
+    # Starting pastiche image (extension: the reference always starts from
+    # uniform noise, optex.py:263-265). Useful for re-texturing an existing
+    # image or resuming/refining a previous output. Loads at the content's
+    # size when content is given, else at `size`.
+    init: Optional[str] = None
     output_dir: str = "output/"
 
     def validate(self) -> "OptexConfig":

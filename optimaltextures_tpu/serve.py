@@ -150,6 +150,11 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
     content = None
     if payload.get("content_b64"):
         content = _decode_image(payload["content_b64"], cfg.size, oversize=False)
+    init = None
+    if payload.get("init_b64"):
+        init = _decode_image(payload["init_b64"], cfg.size, oversize=False)
+        if content is not None and init.shape != content.shape:
+            raise ValueError("init_b64 must load to the content's shape")
 
     # stable (process-independent) style identity: used for the in-memory
     # prep cache AND as the on-disk style-pack filename
@@ -171,8 +176,12 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
         # (repeated identical requests must differ), byte-identical for a
         # fixed seed — noise and the run's rotations both derive from it
         run_key = synth.next_run_key()
-        noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
-                                   dtype=jnp.float32)
+        if init is not None:
+            noise = jnp.asarray(np.repeat(init, shape[0], axis=0)
+                                if shape[0] > 1 else init, jnp.float32)
+        else:
+            noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
+                                       dtype=jnp.float32)
         # styles_token: repeated requests with the same style bytes skip all
         # style conv/eigh device work + the k-decision sync (prep cache)
         out = synth.run(noise, [jnp.asarray(s) for s in styles],

@@ -63,6 +63,8 @@ def output_name(cfg) -> str:
             parts += ["blend" + str(cfg.mixing_alpha)]
     if cfg.content is not None:
         parts += [stem(cfg.content), "strength" + str(cfg.content_strength)]
+    if getattr(cfg, "init", None):      # extension: not in the reference codec
+        parts += ["init-" + stem(cfg.init)]
     parts += [cfg.hist_mode + "hist"]
     if cfg.no_pca:
         parts += ["no_pca"]
