@@ -34,8 +34,11 @@ def run_files(cfg: OptexConfig, verbose: bool = False
             raise ValueError(
                 f"--init image loads to {tuple(pastiche.shape)} but the "
                 f"content loads to {tuple(content.shape)}; they must match")
-        if cfg.batch > 1 and content is None:
-            pastiche = np.repeat(pastiche, cfg.batch, axis=0)
+        if cfg.batch > 1:
+            # every batch element would start identical AND share the run's
+            # rotation stream -> N identical outputs for N x the device work
+            raise ValueError("batch > 1 with --init produces identical "
+                             "images; run batch=1")
     out, seconds = core.synthesize(cfg, styles, content, pastiche=pastiche,
                                    verbose=verbose)
     out_np = np.asarray(out)
@@ -66,7 +69,16 @@ def mix_textures(style_a: str, style_b: str, *more_styles: str,
 
     Two styles reproduce the reference's alpha blend exactly; three or more
     (an extension — the reference caps at 2) mix by ``weights`` (one positive
-    weight per style, default uniform; see ``OptexConfig.mixing_weights``)."""
+    weight per style, default uniform; see ``OptexConfig.mixing_weights``).
+
+    ``alpha`` is keyword-only (it was the 3rd positional argument before
+    varargs styles existed — a positional float would otherwise be silently
+    swallowed as a style path)."""
+    for s in (style_a, style_b, *more_styles):
+        if not isinstance(s, str):
+            raise TypeError(
+                f"style paths must be strings, got {s!r} — if this was "
+                "alpha, pass it by keyword: mix_textures(a, b, alpha=...)")
     cfg = OptexConfig(style=[style_a, style_b, *more_styles],
                       mixing_alpha=alpha, mixing_weights=weights, size=size,
                       **overrides)

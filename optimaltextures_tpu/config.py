@@ -104,8 +104,11 @@ class OptexConfig:
                 raise ValueError(
                     f"mixing_weights needs one weight per style "
                     f"({len(self.style)}), got {len(self.mixing_weights)}")
-            if any(w <= 0 for w in self.mixing_weights):
-                raise ValueError("mixing_weights must be positive")
+            import math
+
+            if not all(math.isfinite(w) and w > 0
+                       for w in self.mixing_weights):
+                raise ValueError("mixing_weights must be finite and positive")
         if self.passes < 1 or self.iters < 1 or self.size < 32 or self.batch < 1:
             raise ValueError("passes/iters/size/batch out of range")
         if self.conv_dtype not in ("float32", "bfloat16"):

@@ -275,6 +275,16 @@ class Synthesizer:
         self.iters_table, self.sizes = schedule.iters_and_sizes(
             cfg.size, cfg.iters, cfg.passes, not cfg.no_multires,
             quirk=cfg.compat_schedule_quirk, num_layers=self.depth)
+        if cfg.tileable:
+            # odd sizes reach ceil-mode pooling's -inf pad row, which breaks
+            # the torus equivariance that makes the output tile (multires
+            # sizes are 32-rounded and always safe; exact sizes may not be)
+            stride = 2 ** (self.depth - 1)
+            for size in self.sizes:
+                if size % stride:
+                    raise ValueError(
+                        f"tileable needs every pass size divisible by "
+                        f"{stride} (2^(depth-1)); pass size {size} is not")
         # layer-loop position l uses depth D-l (deepest first, optex.py:42-43)
         self.layer_depths = [self.depth - l for l in range(self.depth)]
         seed = cfg.seed if cfg.seed is not None else np.random.SeedSequence().entropy % (2 ** 63)

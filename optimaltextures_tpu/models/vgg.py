@@ -94,7 +94,12 @@ class VGGBank:
         avail = weights.available_depths(directory)
         if not avail:
             raise FileNotFoundError(
-                "no converted VGG weights; run `python -m tools.convert_weights`")
+                "no converted VGG weights found — convert the reference "
+                ".pth checkpoints with `python -m tools.convert_weights` "
+                "and/or point OPTEX_WEIGHTS_DIR at a directory holding "
+                "vgg_normalised_conv{d}_1.npz / feature_invertor_conv{d}_1"
+                ".npz (required for installed packages, which do not "
+                "bundle the weights)")
         self.max_depth = max_depth or max(avail)
         if self.max_depth not in avail:
             raise ValueError(f"depth {self.max_depth} unavailable; have {avail}")

@@ -119,11 +119,15 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
-    if mode not in ("cdf", "sort") and content_feature is None:
+    import os
+
+    if (mode not in ("cdf", "sort") and content_feature is None
+            and os.environ.get("OPTEX_NO_COV_PROP") != "1"):
         # covariance-propagated loop (see transport.transport_loop): the
         # joint covariance is psum'd ONCE, then propagated as M^T cov M —
         # every iteration after that is collective-free (the per-iteration
-        # psum of the sample Gram disappears)
+        # psum of the sample Gram disappears). The env knob is read at TRACE
+        # time — set it before the first run of a process.
         mu0, _, gram, n_local = _local_moments(feature)
         cov0 = jax.lax.psum(gram, axis) / (n_local * jax.lax.psum(1, axis))
         # mu0 is shard-varying (per-image local means); the carry's type must

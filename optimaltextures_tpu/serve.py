@@ -10,9 +10,11 @@ one accelerator, one compute stream.
 
     POST /v1/synthesize
       {"config": {"size": 256, "iters": 100, ...},
-       "style_b64": ["<base64 png/jpg>", ...],   # 1 or 2
-       "content_b64": "<base64 png/jpg>"}        # optional
-    -> 200 image/png (the synthesized pastiche)
+       "style_b64": ["<base64 png/jpg>", ...],   # 1-8 (3+ = N-style mixing)
+       "content_b64": "<base64 png/jpg>",        # optional
+       "init_b64": "<base64 png/jpg>"}           # optional starting pastiche
+    -> 200 image/png (the synthesized pastiche), or application/json with
+       every image base64-encoded when config.batch > 1
 
     GET /healthz -> {"status": "ok", "devices": [...], "cached": N}
 
@@ -155,6 +157,9 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
         init = _decode_image(payload["init_b64"], cfg.size, oversize=False)
         if content is not None and init.shape != content.shape:
             raise ValueError("init_b64 must load to the content's shape")
+        if cfg.batch > 1:
+            raise ValueError("batch > 1 with init_b64 produces identical "
+                             "images; use batch=1")
 
     # stable (process-independent) style identity: used for the in-memory
     # prep cache AND as the on-disk style-pack filename
@@ -176,9 +181,8 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
         # (repeated identical requests must differ), byte-identical for a
         # fixed seed — noise and the run's rotations both derive from it
         run_key = synth.next_run_key()
-        if init is not None:
-            noise = jnp.asarray(np.repeat(init, shape[0], axis=0)
-                                if shape[0] > 1 else init, jnp.float32)
+        if init is not None:   # batch > 1 with init was rejected above
+            noise = jnp.asarray(init, jnp.float32)
         else:
             noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
                                        dtype=jnp.float32)

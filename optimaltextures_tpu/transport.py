@@ -198,6 +198,9 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
 
     import os
 
+    # OPTEX_NO_COV_PROP=1 restores the recompute-from-data loop. Read at
+    # TRACE time (programs already jit-cached in-process won't change) —
+    # set it before the process's first run.
     if (mode not in ("cdf", "sort") and content_feature is None
             and os.environ.get("OPTEX_NO_COV_PROP") != "1"):
         # Covariance-propagated fast path: after a moment step

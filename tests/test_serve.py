@@ -201,3 +201,35 @@ def test_three_style_mixing_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_init_b64_request(server):
+    """init_b64: start from an image; seeded requests stay byte-identical."""
+    def content_b64():
+        with open("/root/reference/content/rocket.jpg", "rb") as f:
+            return base64.b64encode(f.read()).decode()
+
+    payload = {
+        "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                   "depth": 2, "seed": 0},
+        "style_b64": [_style_b64()],
+        "init_b64": content_b64(),
+    }
+    def post():
+        req = urllib.request.Request(f"{server}/v1/synthesize",
+                                     data=json.dumps(payload).encode(),
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    png1 = post()
+    assert png1[:8] == b"\x89PNG\r\n\x1a\n"
+    assert post() == png1
+
+    # batch > 1 with init is rejected (identical outputs, wasted device work)
+    payload["config"]["batch"] = 2
+    try:
+        post()
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
