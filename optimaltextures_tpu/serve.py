@@ -46,11 +46,15 @@ _CONFIG_FIELDS = {
 
 
 class SynthesizerPool:
-    """Warm Synthesizer cache keyed by the jit-relevant config signature."""
+    """Warm Synthesizer cache keyed by the jit-relevant config signature.
 
-    def __init__(self):
+    ``device``: optional jax device this pool's work is pinned to (the
+    multi-worker serving mode runs one pool per chip)."""
+
+    def __init__(self, device=None):
         self._cache = {}
         self.lock = threading.Lock()
+        self.device = device
 
     def _sig(self, cfg: OptexConfig):
         d = dataclasses.asdict(cfg)
@@ -168,31 +172,47 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
     token = hashlib.sha256("\x00".join(styles_b64).encode()).hexdigest()[:24]
 
     with pool.lock:
+        import contextlib
+
         import jax
         import jax.numpy as jnp
 
-        synth = pool.get(cfg)
-        _maybe_import_pack(synth, token)
-        if content is not None:
-            shape = content.shape
-        else:
-            shape = (cfg.batch, cfg.size, cfg.size, 3)
-        # per-request key: fresh entropy per request when no seed is given
-        # (repeated identical requests must differ), byte-identical for a
-        # fixed seed — noise and the run's rotations both derive from it
-        run_key = synth.next_run_key()
-        if init is not None:   # batch > 1 with init was rejected above
-            noise = jnp.asarray(init, jnp.float32)
-        else:
-            noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
-                                       dtype=jnp.float32)
-        # styles_token: repeated requests with the same style bytes skip all
-        # style conv/eigh device work + the k-decision sync (prep cache)
-        out = synth.run(noise, [jnp.asarray(s) for s in styles],
-                        jnp.asarray(content) if content is not None else None,
-                        key=run_key, styles_token=token)
-        batch = np.clip(np.asarray(out), 0.0, 1.0)
-        _maybe_export_pack(synth, token, n_styles=len(styles_b64))
+        # multi-worker mode: pin this worker's arrays + compute to its chip
+        # (jax.default_device is a thread-local context)
+        dev_cm = (jax.default_device(pool.device) if pool.device is not None
+                  else contextlib.nullcontext())
+        with dev_cm:
+            return _run_locked(pool, cfg, styles, content, init, token)
+
+
+def _run_locked(pool, cfg, styles, content, init, token):
+    """The device-touching half of a request (caller holds pool.lock and the
+    worker's default-device context)."""
+    import jax
+    import jax.numpy as jnp
+
+    synth = pool.get(cfg)
+    _maybe_import_pack(synth, token)
+    if content is not None:
+        shape = content.shape
+    else:
+        shape = (cfg.batch, cfg.size, cfg.size, 3)
+    # per-request key: fresh entropy per request when no seed is given
+    # (repeated identical requests must differ), byte-identical for a
+    # fixed seed — noise and the run's rotations both derive from it
+    run_key = synth.next_run_key()
+    if init is not None:   # batch > 1 with init was rejected above
+        noise = jnp.asarray(init, jnp.float32)
+    else:
+        noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
+                                   dtype=jnp.float32)
+    # styles_token: repeated requests with the same style bytes skip all
+    # style conv/eigh device work + the k-decision sync (prep cache)
+    out = synth.run(noise, [jnp.asarray(s) for s in styles],
+                    jnp.asarray(content) if content is not None else None,
+                    key=run_key, styles_token=token)
+    batch = np.clip(np.asarray(out), 0.0, 1.0)
+    _maybe_export_pack(synth, token, n_styles=len(styles))
 
     from PIL import Image
 
@@ -207,7 +227,43 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict):
         {"images_b64": [base64.b64encode(p).decode() for p in pngs]}).encode()
 
 
-def make_handler(pool: SynthesizerPool):
+class WorkerSet:
+    """N serving workers, one per chip (extension: the reference is a CLI
+    script; multi-chip serving has no analogue there).
+
+    Each worker owns a SynthesizerPool pinned to one jax device; requests
+    check a worker out of a FIFO queue, so N requests run CONCURRENTLY on N
+    chips while the per-worker lock keeps each chip single-stream.
+    Sequential requests rotate across workers (the queue is FIFO), which
+    also spreads the warm caches."""
+
+    def __init__(self, n_workers: int = 1):
+        import queue
+
+        import jax
+
+        devices = jax.devices()
+        if n_workers > len(devices):
+            raise ValueError(
+                f"workers={n_workers} but only {len(devices)} devices")
+        self.pools = [SynthesizerPool(device=devices[i] if n_workers > 1
+                                      else None)
+                      for i in range(n_workers)]
+        self._queue = queue.Queue()
+        for i in range(n_workers):
+            self._queue.put(i)
+
+    def checkout(self):
+        return self._queue.get()
+
+    def checkin(self, idx: int) -> None:
+        self._queue.put(idx)
+
+    def __len__(self):
+        return sum(len(p) for p in self.pools)
+
+
+def make_handler(workers: WorkerSet):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -226,7 +282,8 @@ def make_handler(pool: SynthesizerPool):
 
                 self._json(200, {"status": "ok",
                                  "devices": [str(d) for d in jax.devices()],
-                                 "cached": len(pool)})
+                                 "cached": len(workers),
+                                 "workers": len(workers.pools)})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -234,28 +291,33 @@ def make_handler(pool: SynthesizerPool):
             if self.path != "/v1/synthesize":
                 self._json(404, {"error": "not found"})
                 return
+            idx = workers.checkout()
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                ctype, body = handle_synthesize(pool, payload)
+                ctype, body = handle_synthesize(workers.pools[idx], payload)
             except (ValueError, TypeError, KeyError) as e:
                 self._json(400, {"error": str(e)})
                 return
             except Exception as e:  # pragma: no cover - defensive
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            finally:
+                workers.checkin(idx)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Optex-Worker", str(idx))
             self.end_headers()
             self.wfile.write(body)
 
     return Handler
 
 
-def serve(port: int = 8700, host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    pool = SynthesizerPool()
-    server = ThreadingHTTPServer((host, port), make_handler(pool))
+def serve(port: int = 8700, host: str = "127.0.0.1",
+          workers: int = 1) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(WorkerSet(workers)))
     return server
 
 
@@ -265,8 +327,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--workers", type=int, default=1,
+                   help="serving workers, one per chip: N requests run "
+                        "concurrently on N devices (use with single-device "
+                        "request configs; num_devices/spatial_devices "
+                        "requests share the whole device set)")
     args = p.parse_args()
-    server = serve(args.port, args.host)
+    server = serve(args.port, args.host, args.workers)
     print(f"optex-tpu serving on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
 

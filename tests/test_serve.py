@@ -233,3 +233,45 @@ def test_init_b64_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_multi_worker_serving():
+    """--workers N: requests rotate across per-device worker pools and can
+    run concurrently (extension; exercised on the virtual CPU mesh)."""
+    import concurrent.futures
+
+    srv = serve.serve(port=0, workers=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            assert json.loads(r.read())["workers"] == 2
+
+        payload = {
+            "config": {"size": 64, "passes": 1, "iters": 4,
+                       "no_multires": True, "depth": 2, "seed": 0},
+            "style_b64": [_style_b64()],
+        }
+
+        def post():
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return r.headers["X-Optex-Worker"], r.read()
+
+        # sequential requests rotate across the FIFO worker queue
+        w1, png1 = post()
+        w2, png2 = post()
+        assert {w1, w2} == {"0", "1"}
+        assert png1[:8] == b"\x89PNG\r\n\x1a\n" and png2[:8] == png1[:8]
+        # seeded: both workers produce byte-identical images
+        assert png1 == png2
+
+        # concurrent requests both succeed
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(lambda _: post(), range(2)))
+        assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for _, p in results)
+    finally:
+        srv.shutdown()
