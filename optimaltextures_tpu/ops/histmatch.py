@@ -238,22 +238,34 @@ def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
 
     The cdf mode approximates the 1-D transport map with 256 bins (a
     torch.histc legacy); the exact map sends the r-th smallest target sample
-    to the source's (r+0.5)/Nt quantile. Two sorts + a gather per channel —
-    no histograms, no interpolation error, and jnp.sort vectorizes across
-    channels on TPU. Not in the reference; exposed as hist_mode="sort".
+    to the source's (r+0.5)/Nt quantile. No histograms, no interpolation
+    error. Not in the reference; exposed as hist_mode="sort".
+
+    TPU cost shape: the whole map is TWO stable multi-operand sorts + one
+    STATIC gather. The source index depends only on the RANK, never the
+    data (``q(r) = clip((r+0.5)*Ns/Nt)``), so the quantile lookup indexes
+    ``s_sorted`` with a host-constant vector; and the inverse permutation
+    that scatters matched values back to their original positions IS a sort
+    by original index — no argsort-of-argsort, no dynamic gather (slow on
+    TPU).
     """
+    import numpy as np
+
     bt, h, w, c = target.shape
     t = target.reshape(-1, c).T  # (C, Nt)
     s = source.reshape(-1, c).T  # (C, Ns)
     nt, ns = t.shape[1], s.shape[1]
 
     s_sorted = jnp.sort(s, axis=1)
-    order = jnp.argsort(t, axis=1)
-    ranks = jnp.argsort(order, axis=1)  # rank of each sample in its channel
-    src_idx = jnp.clip(((ranks.astype(jnp.float32) + 0.5) * (ns / nt))
-                       .astype(jnp.int32), 0, ns - 1)
-    matched = jnp.take_along_axis(s_sorted, src_idx, axis=1)
-    return matched.T.reshape(bt, h, w, c)
+    iota = jnp.broadcast_to(jnp.arange(nt, dtype=jnp.int32), t.shape)
+    _, order = jax.lax.sort((t, iota), dimension=1, num_keys=1,
+                            is_stable=True)
+    src_idx = np.clip(((np.arange(nt) + 0.5) * (ns / nt)).astype(np.int64),
+                      0, ns - 1)
+    matched_sorted = s_sorted[:, src_idx]          # static gather
+    _, out = jax.lax.sort((order, matched_sorted), dimension=1, num_keys=1,
+                          is_stable=True)
+    return out.T.reshape(bt, h, w, c)
 
 
 # ----------------------------------------------------------------------------

@@ -161,3 +161,24 @@ def test_cdf_match_constant_channel_is_safe(rng):
     s = np.full((1, 4, 4, 2), 3.0, dtype=np.float32)
     got = np.asarray(histmatch.cdf_match(jnp.asarray(t), jnp.asarray(s)))
     assert np.isfinite(got).all()
+
+
+def test_sort_match_ties_and_oracle(rng):
+    """The two-sort formulation (static quantile gather + inverse-permutation
+    sort) must equal the direct rank oracle, including on heavily tied
+    inputs (stability determines which duplicate gets which quantile)."""
+    t = np.round(rng.normal(0, 1, (2, 6, 5, 4)).astype(np.float32), 1)  # ties
+    s = np.round(rng.normal(0.5, 2, (1, 9, 7, 4)).astype(np.float32), 1)
+    got = np.asarray(histmatch.sort_match(jnp.asarray(t), jnp.asarray(s)))
+
+    tf = t.reshape(-1, 4)
+    sf = s.reshape(-1, 4)
+    nt, ns = tf.shape[0], sf.shape[0]
+    want = np.empty_like(tf)
+    for ch in range(4):
+        order = np.argsort(tf[:, ch], kind="stable")
+        ranks = np.empty(nt, dtype=np.int64)
+        ranks[order] = np.arange(nt)
+        q = np.clip(((ranks + 0.5) * (ns / nt)).astype(np.int64), 0, ns - 1)
+        want[:, ch] = np.sort(sf[:, ch])[q]
+    np.testing.assert_array_equal(got.reshape(-1, 4), want)
