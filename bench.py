@@ -62,13 +62,20 @@ def _ot_iters_per_sec(size: int, key) -> float:
                               (1, h, w, 256), jnp.float32) ** 2
     stats = transport.style_stats(style, need_samples=False)
 
+    import numpy as np
+
     loop = jax.jit(partial(transport.transport_loop,
                            n_iters=n_iters, mode="chol"))
     loop(key, feat, stats).block_until_ready()  # compile
+    # vary the key per timed call and force a host fetch: through the axon
+    # tunnel, block_until_ready on a repeated identical dispatch can return
+    # without executing (measured; see docs/PERF.md) — np.asarray of a
+    # result slice cannot
     best = float("inf")
-    for _ in range(3):
+    for i in range(3):
+        k = jax.random.fold_in(key, 100 + i)
         t0 = time.time()
-        loop(key, feat, stats).block_until_ready()
+        np.asarray(loop(k, feat, stats)[0, 0, 0, :1])
         best = min(best, time.time() - t0)
     return n_iters / best
 
