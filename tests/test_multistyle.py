@@ -131,3 +131,17 @@ def test_two_style_weights_use_generalized_path():
         OptexConfig(**base, mixing_weights=[0.5, 0.5]), styles)
     assert np.isfinite(np.asarray(out_w)).all()
     assert np.abs(np.asarray(out_alpha) - np.asarray(out_w)).max() > 1e-3
+
+
+def test_three_style_mixing_under_dp():
+    """N-style mixing composes with batch data parallelism: the categorical
+    mask + generalized blend happen in replicated style prep, so the DP run
+    equals the single-device run."""
+    styles = _loads(S3)
+    base = dict(size=64, passes=1, iters=4, no_multires=True, depth=2,
+                seed=13, style=["a", "b", "c"], batch=8,
+                mixing_weights=[0.5, 0.25, 0.25])
+    out1, _ = core.synthesize(OptexConfig(**base), styles)
+    out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), styles)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
