@@ -135,14 +135,18 @@ def _maybe_export_pack(synth, token: str, n_styles: int) -> None:
         pass
 
 
-def handle_synthesize(pool: SynthesizerPool, payload: dict):
+def handle_synthesize(pool: SynthesizerPool, payload: dict,
+                      config_defaults: dict | None = None):
     """Run one request; returns (content_type, body bytes).
 
     batch == 1 -> raw image/png; batch > 1 -> application/json with every
     synthesized image base64-encoded (nothing computed is discarded).
-    Raises ValueError on bad input."""
-    cfg_args = {k: v for k, v in payload.get("config", {}).items()
-                if k in _CONFIG_FIELDS}
+    ``config_defaults``: operator-set config values applied when the request
+    omits the field (e.g. ``{"pca_bucket": 32}`` so unseen styles reuse
+    compiled stage programs). Raises ValueError on bad input."""
+    cfg_args = dict(config_defaults or {})
+    cfg_args.update({k: v for k, v in payload.get("config", {}).items()
+                     if k in _CONFIG_FIELDS})
     styles_b64 = payload.get("style_b64") or []
     if not 1 <= len(styles_b64) <= 8:
         raise ValueError("style_b64 must contain 1-8 images")
@@ -263,7 +267,7 @@ class WorkerSet:
         return sum(len(p) for p in self.pools)
 
 
-def make_handler(workers: WorkerSet):
+def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -295,7 +299,8 @@ def make_handler(workers: WorkerSet):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                ctype, body = handle_synthesize(workers.pools[idx], payload)
+                ctype, body = handle_synthesize(workers.pools[idx], payload,
+                                                config_defaults)
             except (ValueError, TypeError, KeyError) as e:
                 self._json(400, {"error": str(e)})
                 return
@@ -314,10 +319,14 @@ def make_handler(workers: WorkerSet):
     return Handler
 
 
-def serve(port: int = 8700, host: str = "127.0.0.1",
-          workers: int = 1) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port),
-                                 make_handler(WorkerSet(workers)))
+def serve(port: int = 8700, host: str = "127.0.0.1", workers: int = 1,
+          config_defaults: dict | None = None) -> ThreadingHTTPServer:
+    if config_defaults:
+        bad = set(config_defaults) - _CONFIG_FIELDS
+        if bad:
+            raise ValueError(f"unknown config defaults: {sorted(bad)}")
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(WorkerSet(workers), config_defaults))
     return server
 
 
@@ -332,8 +341,22 @@ def main() -> None:
                         "concurrently on N devices (use with single-device "
                         "request configs; num_devices/spatial_devices "
                         "requests share the whole device set)")
+    p.add_argument("--config_default", action="append", default=[],
+                   metavar="KEY=JSON",
+                   help="operator default for a config field applied when a "
+                        "request omits it, e.g. --config_default "
+                        "pca_bucket=32 --config_default "
+                        "conv_dtype='\"bfloat16\"' (value parsed as JSON, "
+                        "bare strings allowed)")
     args = p.parse_args()
-    server = serve(args.port, args.host, args.workers)
+    defaults = {}
+    for kv in args.config_default:
+        k, _, v = kv.partition("=")
+        try:
+            defaults[k] = json.loads(v)
+        except json.JSONDecodeError:
+            defaults[k] = v  # bare string convenience
+    server = serve(args.port, args.host, args.workers, defaults or None)
     print(f"optex-tpu serving on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
 

@@ -275,3 +275,48 @@ def test_multi_worker_serving():
         assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for _, p in results)
     finally:
         srv.shutdown()
+
+
+def test_config_defaults_applied_and_overridable():
+    """Operator config defaults fill omitted fields; the request wins when
+    it specifies one; unknown defaults are rejected at startup."""
+    with pytest.raises(ValueError, match="unknown config defaults"):
+        serve.serve(port=0, config_defaults={"nope": 1})
+
+    srv = serve.serve(port=0, config_defaults={"pca_bucket": 8, "iters": 4})
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        def post(cfg):
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize",
+                data=json.dumps({"config": cfg,
+                                 "style_b64": [_style_b64()]}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return r.read()
+
+        base = {"size": 64, "passes": 1, "no_multires": True, "depth": 2,
+                "seed": 0}
+        assert post(base)[:8] == b"\x89PNG\r\n\x1a\n"
+        # the worker's pool cached a synthesizer with the defaults applied
+        pool = [p for p in _pools(srv) if len(p)][0]
+        cfgs = [s.cfg for s in pool._cache.values()]
+        assert any(c.pca_bucket == 8 and c.iters == 4 for c in cfgs)
+        # explicit request value overrides the default
+        post({**base, "pca_bucket": 0})
+        cfgs = [s.cfg for p in _pools(srv) for s in p._cache.values()]
+        assert any(c.pca_bucket == 0 for c in cfgs)
+    finally:
+        srv.shutdown()
+
+
+def _pools(srv):
+    # the handler closure holds the WorkerSet; reach it via the class cell
+    handler_cls = srv.RequestHandlerClass
+    for cell in handler_cls.do_POST.__closure__ or []:
+        if isinstance(cell.cell_contents, serve.WorkerSet):
+            return cell.cell_contents.pools
+    raise AssertionError("WorkerSet not found")
