@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1,
                    help="number of noise pastiches to synthesize at once")
     p.add_argument("--size", type=int, default=512, help="output size")
+    p.add_argument("--out_width", type=int, default=None,
+                   help="non-square synthesis width (extension; height is "
+                        "--size); ignored with content/--init images")
     p.add_argument("--passes", type=int, default=5,
                    help="loops over the VGG layer stack")
     p.add_argument("--iters", type=int, default=500,

@@ -35,6 +35,11 @@ class OptexConfig:
     no_pca: bool = False
     no_multires: bool = False
     batch: int = 1                    # noise pastiches per run (ignored with content)
+    # Output width for synthesis (extension: the reference can only make
+    # size x size noise). None = square. The multires chain scales the width
+    # with the pass sizes (same aspect rule content uses); ignored when a
+    # content or --init image defines the shape.
+    out_width: Optional[int] = None
     seed: Optional[int] = None
 
     # --- fidelity / compat ---------------------------------------------------
@@ -115,6 +120,12 @@ class OptexConfig:
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
         if self.pca_bucket < 0:
             raise ValueError("pca_bucket must be >= 0")
+        if self.out_width is not None:
+            if self.content is not None:
+                raise ValueError("out_width applies to synthesis only (a "
+                                 "content image defines the output shape)")
+            if self.out_width < 32:
+                raise ValueError("out_width must be >= 32")
         if self.content_anchor not in ("index", "depth"):
             raise ValueError(
                 f"content_anchor must be index|depth, got {self.content_anchor!r}")

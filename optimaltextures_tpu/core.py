@@ -382,6 +382,11 @@ class Synthesizer:
                 if content_hw is not None:
                     cont_size = schedule.get_size(size, 1.0, content_hw[0],
                                                   content_hw[1], oversize=True)
+                elif self.cfg.out_width:
+                    # non-square synthesis (extension): the width follows the
+                    # pass size with the same aspect rule content uses
+                    cont_size = schedule.get_size(size, 1.0, self.cfg.size,
+                                                  self.cfg.out_width)
                 else:
                     cont_size = (size, size)
                 plan.append((size, True, cont_size))
@@ -748,7 +753,7 @@ def synthesize(cfg: OptexConfig, styles, content=None, pastiche=None,
     run_key = synth.next_run_key()
     if pastiche is None:
         shape = content.shape if content is not None else \
-            (cfg.batch, cfg.size, cfg.size, 3)
+            (cfg.batch, cfg.size, cfg.out_width or cfg.size, 3)
         pastiche = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
                                       dtype=jnp.float32)
     t0 = time.time()

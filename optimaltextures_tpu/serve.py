@@ -41,7 +41,7 @@ _CONFIG_FIELDS = {
     "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
     "spatial_devices", "pca_bucket", "use_pallas", "compat_schedule_quirk",
-    "content_anchor", "tileable",
+    "content_anchor", "tileable", "out_width",
 }
 
 
@@ -200,7 +200,7 @@ def _run_locked(pool, cfg, styles, content, init, token):
     if content is not None:
         shape = content.shape
     else:
-        shape = (cfg.batch, cfg.size, cfg.size, 3)
+        shape = (cfg.batch, cfg.size, cfg.out_width or cfg.size, 3)
     # per-request key: fresh entropy per request when no seed is given
     # (repeated identical requests must differ), byte-identical for a
     # fixed seed — noise and the run's rotations both derive from it

@@ -76,7 +76,10 @@ def output_name(cfg) -> str:
         parts += [cfg.color_transfer]
     if getattr(cfg, "tileable", False):   # extension: not in the reference codec
         parts += ["tileable"]
-    parts += [str(cfg.size)]
+    if getattr(cfg, "out_width", None):   # extension: non-square synthesis
+        parts += [f"{cfg.size}x{cfg.out_width}"]
+    else:
+        parts += [str(cfg.size)]
     return "_".join(parts)
 
 
