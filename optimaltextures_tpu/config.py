@@ -64,7 +64,8 @@ class OptexConfig:
     # multires upsample wraps its kernel taps, making the pipeline
     # translation-equivariant on the torus — the output tiles seamlessly.
     # Style/content encoding keeps reflection padding (they are photographs,
-    # not tori). Single-device path only.
+    # not tori). Composes with num_devices (per-image wrap pads are local)
+    # and spatial_devices (wrap halos ride a circular ppermute ring).
     tileable: bool = False
 
     # --- performance ---------------------------------------------------------
@@ -129,9 +130,6 @@ class OptexConfig:
         if self.content_anchor not in ("index", "depth"):
             raise ValueError(
                 f"content_anchor must be index|depth, got {self.content_anchor!r}")
-        if self.tileable and (self.num_devices > 1 or self.spatial_devices > 1):
-            raise ValueError("tileable synthesis runs single-device (the "
-                             "sharded conv stages assume reflection halos)")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "

@@ -327,7 +327,8 @@ class Synthesizer:
         if key not in self._dp_stages:
             self._dp_stages[key] = make_sharded_stage(
                 self.mesh, depth=depth, n_iters=n_iters,
-                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca)
+                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca,
+                pad_mode="wrap" if self.cfg.tileable else "reflect")
         return self._dp_stages[key]
 
     def _dp_shard(self, pastiche):
@@ -343,7 +344,8 @@ class Synthesizer:
         if key not in self._sp_stages:
             self._sp_stages[key] = make_spatial_stage(
                 self.space_mesh, depth=depth, n_iters=n_iters,
-                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca)
+                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca,
+                pad_mode="wrap" if self.cfg.tileable else "reflect")
         return self._sp_stages[key]
 
     def _sp_shard(self, pastiche):

@@ -181,7 +181,7 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
 
 def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                        strength: float = 0.0, use_pca: bool = False,
-                       axis: str = "data"):
+                       axis: str = "data", pad_mode: str = "reflect"):
     """Build a jitted full stage (encode -> project -> sharded OT loop ->
     unproject -> decode) over a batch-sharded pastiche.
 
@@ -195,7 +195,7 @@ def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
 
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
                     style_samples, eigvecs, content_feat, key, k_mask):
-        feat = encode(enc_params, depth, pastiche)
+        feat = encode(enc_params, depth, pastiche, pad_mode)
         feat = feat.astype(jnp.float32)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
@@ -207,7 +207,8 @@ def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                                       k_mask=k_mask)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
-        return decode(dec_params, depth, feat.astype(pastiche.dtype))
+        return decode(dec_params, depth, feat.astype(pastiche.dtype),
+                      pad_mode)
 
     fn = jax.shard_map(
         stage_local, mesh=mesh,

@@ -33,10 +33,20 @@ from ..ops.rotation import random_rotation, stage_rotations
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _halo_pad_h(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+def _halo_pad_h(x: jnp.ndarray, axis: str,
+                pad_mode: str = "reflect") -> jnp.ndarray:
     """Pad the sharded H axis by 1 row on each side: interior rows come from
-    the neighbouring shard (ppermute), global edges reflect locally."""
+    the neighbouring shard (ppermute); global edges reflect locally
+    (reference semantics) or wrap around the ring (tileable — the circular
+    ppermute is actually SIMPLER than reflection: shard 0's top halo is just
+    shard n-1's last row, no edge special-case)."""
     n = jax.lax.axis_size(axis)
+    if pad_mode == "wrap":
+        ring_down = [(i, (i + 1) % n) for i in range(n)]
+        ring_up = [((i + 1) % n, i) for i in range(n)]
+        top = jax.lax.ppermute(x[:, -1:], axis, ring_down)
+        bot = jax.lax.ppermute(x[:, :1], axis, ring_up)
+        return jnp.concatenate([top, x, bot], axis=1)
     idx = jax.lax.axis_index(axis)
     # row sent downward (to shard i+1) is our last row; upward is our first
     perm_down = [(i, i + 1) for i in range(n - 1)]
@@ -49,11 +59,13 @@ def _halo_pad_h(x: jnp.ndarray, axis: str) -> jnp.ndarray:
     return jnp.concatenate([top, x, bot], axis=1)
 
 
-def _reflect_pad_w(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+def _pad_w(x: jnp.ndarray, pad_mode: str = "reflect") -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                   mode="reflect" if pad_mode == "reflect" else "wrap")
 
 
-def run_stack_spatial(params, specs, x: jnp.ndarray, axis: str) -> jnp.ndarray:
+def run_stack_spatial(params, specs, x: jnp.ndarray, axis: str,
+                      pad_mode: str = "reflect") -> jnp.ndarray:
     """The VGG conv stack with H sharded: halo-exchange instead of local
     reflection padding on H. Mirrors models.vgg._run_stack op-for-op."""
     for (w, b), (_, _, k, pre, post) in zip(params, specs):
@@ -62,19 +74,23 @@ def run_stack_spatial(params, specs, x: jnp.ndarray, axis: str) -> jnp.ndarray:
         elif pre == "up":
             x = upsample_nearest_2x(x)
         if k == 3:
-            x = _reflect_pad_w(_halo_pad_h(x, axis))
+            x = _pad_w(_halo_pad_h(x, axis, pad_mode), pad_mode)
         x = conv2d_nhwc(x, w, b)
         if post == "relu":
             x = jax.nn.relu(x)
     return x
 
 
-def encode_spatial(params, depth: int, img: jnp.ndarray, axis: str) -> jnp.ndarray:
-    return run_stack_spatial(params, arch.encoder_specs(depth), img, axis)
+def encode_spatial(params, depth: int, img: jnp.ndarray, axis: str,
+                   pad_mode: str = "reflect") -> jnp.ndarray:
+    return run_stack_spatial(params, arch.encoder_specs(depth), img, axis,
+                             pad_mode)
 
 
-def decode_spatial(params, depth: int, feat: jnp.ndarray, axis: str) -> jnp.ndarray:
-    return run_stack_spatial(params, arch.decoder_specs(depth), feat, axis)
+def decode_spatial(params, depth: int, feat: jnp.ndarray, axis: str,
+                   pad_mode: str = "reflect") -> jnp.ndarray:
+    return run_stack_spatial(params, arch.decoder_specs(depth), feat, axis,
+                             pad_mode)
 
 
 def _global_moments(x: jnp.ndarray, axis: str):
@@ -182,7 +198,7 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
 
 def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                        strength: float = 0.0, use_pca: bool = False,
-                       axis: str = "space"):
+                       axis: str = "space", pad_mode: str = "reflect"):
     """Jitted full stage over an H-sharded pastiche: halo-exchange encode ->
     sequence-parallel OT loop -> halo-exchange decode.
 
@@ -197,7 +213,7 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
 
     def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
                     style_samples, eigvecs, content_feat, key, k_mask):
-        feat = encode_spatial(enc_params, depth, pastiche, axis)
+        feat = encode_spatial(enc_params, depth, pastiche, axis, pad_mode)
         feat = feat.astype(jnp.float32)  # OT statistics always in f32
         if use_pca:
             feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
@@ -210,7 +226,7 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
         return decode_spatial(dec_params, depth, feat.astype(pastiche.dtype),
-                              axis)
+                              axis, pad_mode)
 
     fn = jax.shard_map(stage_local, mesh=mesh,
                        in_specs=(rep, rep, shard, rep, rep, rep, rep, shard,

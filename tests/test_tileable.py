@@ -113,11 +113,36 @@ def test_tileable_multires_shift_equivariance():
 # --- surface: config/CLI/filename -------------------------------------------
 
 
-def test_tileable_validate_rejects_sharding():
-    with pytest.raises(ValueError, match="tileable"):
-        OptexConfig(tileable=True, num_devices=2, batch=2).validate()
-    with pytest.raises(ValueError, match="tileable"):
-        OptexConfig(tileable=True, spatial_devices=2).validate()
+def test_tileable_composes_with_sharding():
+    """Tileable + DP and tileable + SP equal the single-device tileable run
+    (wrap halos ride the circular ppermute ring; per-image wrap pads are
+    local under batch sharding)."""
+    styles = [imageio.load_image(STYLE, 64, oversize=False)]
+    from optimaltextures_tpu import core as _core
+
+    base = dict(size=64, passes=1, iters=4, no_multires=True, depth=2,
+                seed=21, style=[STYLE], tileable=True)
+    noise = jax.random.uniform(jax.random.key(4), (8, 64, 64, 3))
+    out1 = _core.Synthesizer(OptexConfig(**base, batch=8)).run(noise, styles)
+    out8 = _core.Synthesizer(OptexConfig(**base, batch=8,
+                                         num_devices=8)).run(noise, styles)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
+
+    one = jax.random.uniform(jax.random.key(5), (1, 64, 64, 3))
+    sp1 = _core.Synthesizer(OptexConfig(**base)).run(one, styles)
+    sp8 = _core.Synthesizer(OptexConfig(**base,
+                                        spatial_devices=8)).run(one, styles)
+    np.testing.assert_allclose(np.asarray(sp8), np.asarray(sp1),
+                               rtol=2e-3, atol=2e-3)
+
+    # and the SP tileable run is itself torus-equivariant (the property
+    # that makes the output tile) for strides divisible by the mesh chunk
+    m = 16
+    sp8b = _core.Synthesizer(OptexConfig(**base, spatial_devices=8)).run(
+        _roll(one, m, m), styles)
+    err = float(jnp.abs(sp8b - _roll(jnp.asarray(sp8), m, m)).max())
+    assert err < 1e-2, err
 
 
 def test_tileable_in_filename_codec():
