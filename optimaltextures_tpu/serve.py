@@ -231,6 +231,11 @@ def _run_locked(pool, cfg, styles, content, init, token):
         {"images_b64": [base64.b64encode(p).decode() for p in pngs]}).encode()
 
 
+# 8 styles + content + init as base64 PNGs comfortably fit; anything bigger
+# is a mistake or abuse (the body is read fully into memory)
+_MAX_REQUEST_BYTES = 256 * 1024 * 1024
+
+
 class WorkerSet:
     """N serving workers, one per chip (extension: the reference is a CLI
     script; multi-chip serving has no analogue there).
@@ -295,9 +300,13 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             if self.path != "/v1/synthesize":
                 self._json(404, {"error": "not found"})
                 return
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > _MAX_REQUEST_BYTES:
+                self._json(413, {"error": f"request body {n} bytes exceeds "
+                                          f"{_MAX_REQUEST_BYTES}"})
+                return
             idx = workers.checkout()
             try:
-                n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 ctype, body = handle_synthesize(workers.pools[idx], payload,
                                                 config_defaults)

@@ -320,3 +320,15 @@ def _pools(srv):
         if isinstance(cell.cell_contents, serve.WorkerSet):
             return cell.cell_contents.pools
     raise AssertionError("WorkerSet not found")
+
+
+def test_oversized_request_rejected(server):
+    req = urllib.request.Request(
+        f"{server}/v1/synthesize", data=b"x",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(serve._MAX_REQUEST_BYTES + 1)})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 413"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
