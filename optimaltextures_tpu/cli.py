@@ -39,8 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of noise pastiches to synthesize at once")
     p.add_argument("--size", type=int, default=512, help="output size")
     p.add_argument("--out_width", type=int, default=None,
-                   help="non-square synthesis width (extension; height is "
-                        "--size); ignored with content/--init images")
+                   help="non-square synthesis width, multiple of 32 "
+                        "(extension; height is --size); synthesis only — "
+                        "rejected with a content image")
     p.add_argument("--passes", type=int, default=5,
                    help="loops over the VGG layer stack")
     p.add_argument("--iters", type=int, default=500,

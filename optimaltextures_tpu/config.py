@@ -125,8 +125,11 @@ class OptexConfig:
             if self.content is not None:
                 raise ValueError("out_width applies to synthesis only (a "
                                  "content image defines the output shape)")
-            if self.out_width < 32:
-                raise ValueError("out_width must be >= 32")
+            if self.out_width < 32 or self.out_width % 32:
+                raise ValueError("out_width must be a multiple of 32 (the "
+                                 "whole pipeline runs on 32-rounded sizes; "
+                                 "an unrounded width would silently render "
+                                 "at round32(out_width))")
         if self.content_anchor not in ("index", "depth"):
             raise ValueError(
                 f"content_anchor must be index|depth, got {self.content_anchor!r}")

@@ -380,15 +380,24 @@ class Synthesizer:
         plan = []
         cur = pastiche_hw
         for size in self.sizes:
-            if cur[0] != size and cur[1] != size:
+            if self.cfg.out_width and content_hw is None:
+                # non-square synthesis (extension): the width follows the
+                # pass size with the same aspect rule content uses. The
+                # reference's EITHER-dim gate would falsely skip passes
+                # whose HEIGHT target matches the current WIDTH (e.g.
+                # out_width 576 at size 512 skips the final pass), so this
+                # extension gates on the full (H, W) pair instead.
+                target = schedule.get_size(size, 1.0, self.cfg.size,
+                                           self.cfg.out_width)
+                if tuple(cur) != target:
+                    plan.append((size, True, target))
+                    cur = target
+                else:
+                    plan.append((size, False, None))
+            elif cur[0] != size and cur[1] != size:
                 if content_hw is not None:
                     cont_size = schedule.get_size(size, 1.0, content_hw[0],
                                                   content_hw[1], oversize=True)
-                elif self.cfg.out_width:
-                    # non-square synthesis (extension): the width follows the
-                    # pass size with the same aspect rule content uses
-                    cont_size = schedule.get_size(size, 1.0, self.cfg.size,
-                                                  self.cfg.out_width)
                 else:
                     cont_size = (size, size)
                 plan.append((size, True, cont_size))

@@ -160,6 +160,11 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
     content = None
     if payload.get("content_b64"):
         content = _decode_image(payload["content_b64"], cfg.size, oversize=False)
+    if content is not None and cfg.out_width:
+        # mirror config.validate's CLI-side rejection (the cfg here carries
+        # content as base64, so validate can't see it)
+        raise ValueError("out_width applies to synthesis only (a content "
+                         "image defines the output shape)")
     init = None
     if payload.get("init_b64"):
         init = _decode_image(payload["init_b64"], cfg.size, oversize=False)
@@ -179,7 +184,6 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
         import contextlib
 
         import jax
-        import jax.numpy as jnp
 
         # multi-worker mode: pin this worker's arrays + compute to its chip
         # (jax.default_device is a thread-local context)
@@ -300,14 +304,24 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             if self.path != "/v1/synthesize":
                 self._json(404, {"error": "not found"})
                 return
-            n = int(self.headers.get("Content-Length", "0"))
-            if n > _MAX_REQUEST_BYTES:
-                self._json(413, {"error": f"request body {n} bytes exceeds "
-                                          f"{_MAX_REQUEST_BYTES}"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if not 0 <= n <= _MAX_REQUEST_BYTES:
+                self._json(413, {"error": f"request body {n} bytes outside "
+                                          f"[0, {_MAX_REQUEST_BYTES}]"})
+                return
+            try:
+                # read + parse BEFORE checking out a worker: a slow upload
+                # must not hold a compute slot doing network I/O
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, TypeError) as e:
+                self._json(400, {"error": str(e)})
                 return
             idx = workers.checkout()
             try:
-                payload = json.loads(self.rfile.read(n) or b"{}")
                 ctype, body = handle_synthesize(workers.pools[idx], payload,
                                                 config_defaults)
             except (ValueError, TypeError, KeyError) as e:

@@ -47,8 +47,10 @@ def test_out_width_tileable_composes():
 def test_out_width_validation_and_codec():
     with pytest.raises(ValueError, match="synthesis only"):
         OptexConfig(out_width=128, content="c.jpg").validate()
-    with pytest.raises(ValueError, match=">= 32"):
+    with pytest.raises(ValueError, match="multiple of 32"):
         OptexConfig(out_width=16).validate()
+    with pytest.raises(ValueError, match="multiple of 32"):
+        OptexConfig(out_width=100).validate()
     name = imageio.output_name(OptexConfig(size=64, out_width=128,
                                            style=["s.jpg"]))
     assert name.endswith("64x128")
@@ -60,3 +62,19 @@ def test_out_width_cli():
 
     args = build_parser().parse_args(["--size", "64", "--out_width", "256"])
     assert config_from_args(args).out_width == 256
+
+
+def test_out_width_gate_never_falsely_skips():
+    """The reference's EITHER-dim resize gate would skip passes whose height
+    target equals the current width (e.g. 512x576: width 512 matches the
+    final height); the out_width plan gates on the (H, W) pair instead, so
+    the final output is exactly the requested size."""
+    cfg = OptexConfig(size=512, out_width=576, passes=5, style=[STYLE])
+    synth = core.Synthesizer(cfg)
+    plan = synth._plan_passes((512, 576), None)
+    # final resize target is exactly the requested output size
+    targets = [p[2] for p in plan if p[1]]
+    assert targets[-1] == (512, 576), plan
+    # the width chain follows the pass sizes monotonically
+    assert all(t[0] <= n[0] and t[1] <= n[1]
+               for t, n in zip(targets, targets[1:])), targets

@@ -83,6 +83,10 @@ def main() -> None:
 
     report = {}
     for key, res in results.items():
+        if "outputs" not in res:   # run_baselines records failures as errors
+            print(f"{key}: skipped ({res.get('error', 'no outputs')})")
+            report[key] = {"skipped": res.get("error", "no outputs")}
+            continue
         cfg = CONFIGS[key]
         out_path = res["outputs"][0]
         out = np.asarray(Image.open(out_path), dtype=np.float32)[None] / 255.0
