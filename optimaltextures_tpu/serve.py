@@ -265,6 +265,34 @@ class WorkerSet:
         self._queue = queue.Queue()
         for i in range(n_workers):
             self._queue.put(i)
+        # request metrics (served at /metrics, Prometheus text format)
+        self.metrics_lock = threading.Lock()
+        self.requests_total = {"ok": 0, "client_error": 0, "server_error": 0}
+        self.request_seconds_sum = 0.0
+        self.request_seconds_count = 0
+
+    def record(self, outcome: str, seconds: float) -> None:
+        with self.metrics_lock:
+            self.requests_total[outcome] += 1
+            if outcome == "ok":
+                self.request_seconds_sum += seconds
+                self.request_seconds_count += 1
+
+    def metrics_text(self) -> str:
+        with self.metrics_lock:
+            lines = ["# TYPE optex_requests_total counter"]
+            for k, v in self.requests_total.items():
+                lines.append(f'optex_requests_total{{outcome="{k}"}} {v}')
+            lines += [
+                "# TYPE optex_request_seconds summary",
+                f"optex_request_seconds_sum {self.request_seconds_sum:.6f}",
+                f"optex_request_seconds_count {self.request_seconds_count}",
+                "# TYPE optex_workers gauge",
+                f"optex_workers {len(self.pools)}",
+                "# TYPE optex_cached_synthesizers gauge",
+                f"optex_cached_synthesizers {len(self)}",
+            ]
+        return "\n".join(lines) + "\n"
 
     def checkout(self):
         return self._queue.get()
@@ -297,6 +325,14 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                                  "devices": [str(d) for d in jax.devices()],
                                  "cached": len(workers),
                                  "workers": len(workers.pools)})
+            elif self.path == "/metrics":
+                body = workers.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -320,18 +356,24 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             except (ValueError, TypeError) as e:
                 self._json(400, {"error": str(e)})
                 return
+            import time as _time
+
             idx = workers.checkout()
+            t0 = _time.time()
             try:
                 ctype, body = handle_synthesize(workers.pools[idx], payload,
                                                 config_defaults)
             except (ValueError, TypeError, KeyError) as e:
+                workers.record("client_error", 0.0)
                 self._json(400, {"error": str(e)})
                 return
             except Exception as e:  # pragma: no cover - defensive
+                workers.record("server_error", 0.0)
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             finally:
                 workers.checkin(idx)
+            workers.record("ok", _time.time() - t0)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))

@@ -332,3 +332,31 @@ def test_oversized_request_rejected(server):
         assert False, "expected 413"
     except urllib.error.HTTPError as e:
         assert e.code == 413
+
+
+def test_metrics_endpoint(server):
+    # generate one ok + one client_error, then scrape
+    payload = {"config": {"size": 64, "passes": 1, "iters": 4,
+                          "no_multires": True, "depth": 2, "seed": 0},
+               "style_b64": [_style_b64()]}
+    req = urllib.request.Request(f"{server}/v1/synthesize",
+                                 data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    urllib.request.urlopen(req).read()
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            f"{server}/v1/synthesize", data=json.dumps({}).encode(),
+            headers={"Content-Type": "application/json"}))
+    except urllib.error.HTTPError:
+        pass
+    with urllib.request.urlopen(f"{server}/metrics") as r:
+        text = r.read().decode()
+    assert 'optex_requests_total{outcome="ok"}' in text
+    ok = int([l for l in text.splitlines()
+              if l.startswith('optex_requests_total{outcome="ok"}')][0]
+             .rsplit(" ", 1)[1])
+    errs = int([l for l in text.splitlines()
+                if 'outcome="client_error"' in l][0].rsplit(" ", 1)[1])
+    assert ok >= 1 and errs >= 1
+    assert "optex_request_seconds_sum" in text
+    assert "optex_workers 1" in text
