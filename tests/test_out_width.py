@@ -78,3 +78,21 @@ def test_out_width_gate_never_falsely_skips():
     # the width chain follows the pass sizes monotonically
     assert all(t[0] <= n[0] and t[1] <= n[1]
                for t, n in zip(targets, targets[1:])), targets
+
+
+def test_out_width_composes_with_spatial_sharding():
+    """Width is unsharded under spatial (H) sharding, so out_width composes;
+    the SP run equals the single-device run."""
+    import jax
+
+    styles = [imageio.load_image(STYLE, 64, oversize=False)]
+    base = dict(size=64, out_width=96, passes=1, iters=4, no_multires=True,
+                depth=2, seed=6, style=[STYLE])
+    noise = np.asarray(
+        np.random.default_rng(1).uniform(size=(1, 64, 96, 3)), dtype="f4")
+    out1 = core.Synthesizer(OptexConfig(**base)).run(noise, styles)
+    out8 = core.Synthesizer(OptexConfig(**base, spatial_devices=8)).run(
+        noise, styles)
+    assert out1.shape == (1, 64, 96, 3)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
