@@ -360,3 +360,40 @@ def test_metrics_endpoint(server):
     assert ok >= 1 and errs >= 1
     assert "optex_request_seconds_sum" in text
     assert "optex_workers 1" in text
+
+
+def test_concurrent_stress_two_workers():
+    """8 concurrent requests against 2 workers: all succeed, both workers
+    participate, metrics count every request."""
+    import concurrent.futures
+
+    srv = serve.serve(port=0, workers=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        payload = {
+            "config": {"size": 64, "passes": 1, "iters": 2,
+                       "no_multires": True, "depth": 1, "seed": 0},
+            "style_b64": [_style_b64()],
+        }
+
+        def post(_):
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return r.headers["X-Optex-Worker"], r.read()[:8]
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(post, range(8)))
+        assert all(sig == b"\x89PNG\r\n\x1a\n" for _, sig in results)
+        assert {w for w, _ in results} == {"0", "1"}
+        with urllib.request.urlopen(f"{url}/metrics") as r:
+            text = r.read().decode()
+        ok = int([l for l in text.splitlines()
+                  if l.startswith('optex_requests_total{outcome="ok"}')][0]
+                 .rsplit(" ", 1)[1])
+        assert ok == 8, text
+    finally:
+        srv.shutdown()
