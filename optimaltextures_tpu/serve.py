@@ -3,10 +3,11 @@
 Exposes the four modes over HTTP with warm jit caches: the first request for
 a given (size, passes, iters, mode, ...) signature compiles; subsequent
 requests reuse the cached ``Synthesizer`` (and XLA's persistent compilation
-cache makes even cold processes cheap). Requests serialize through a lock —
-one accelerator, one compute stream.
+cache makes even cold processes cheap). With ``--workers N`` requests run
+concurrently, one per chip; each worker is single-stream behind its own
+lock. See docs/SERVING.md for the production guide.
 
-    python -m optimaltextures_tpu.serve --port 8700
+    python -m optimaltextures_tpu.serve --port 8700 --workers 4
 
     POST /v1/synthesize
       {"config": {"size": 256, "iters": 100, ...},
@@ -16,7 +17,9 @@ one accelerator, one compute stream.
     -> 200 image/png (the synthesized pastiche), or application/json with
        every image base64-encoded when config.batch > 1
 
-    GET /healthz -> {"status": "ok", "devices": [...], "cached": N}
+    GET /healthz -> {"status": "ok", "devices": [...], "cached": N,
+                     "workers": W}
+    GET /metrics -> Prometheus text (request counters, latency summary)
 
 The reference has no serving story (a CLI script only); this is a framework
 addition.
