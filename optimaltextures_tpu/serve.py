@@ -124,7 +124,7 @@ def _maybe_import_pack(synth, token: str) -> None:
 
 def _maybe_export_pack(synth, token: str, n_styles: int) -> None:
     """Persist the finished targets after the first run of a new style.
-    Mixing (2 styles) draws a fresh mask per run — nothing cacheable."""
+    Mixing (2+ styles) draws a fresh mask per run — nothing cacheable."""
     import os
 
     path = _pack_path(synth, token)

@@ -85,3 +85,18 @@ def test_sliced_wasserstein_decreases():
         return d / len(dirs)
 
     assert sw(of, sf) < 0.5 * sw(nf, sf), (sw(of, sf), sw(nf, sf))
+
+
+def test_quality_report_metrics_unit():
+    """tools/quality_report's metric block: identical clouds score ~0 on
+    every metric; a shifted cloud scores higher."""
+    from tools.quality_report import _metrics
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (4096, 8)).astype(np.float32)
+    same = _metrics(a, a.copy(), np.random.default_rng(1))
+    assert same["rel_mean"] < 1e-6 and same["rel_cov"] < 1e-6
+    assert same["sw1"] < 0.05  # subsampling noise only
+    shifted = _metrics(a + 2.0, a, np.random.default_rng(1))
+    assert shifted["sw1"] > 10 * max(same["sw1"], 1e-3)
+    assert shifted["rel_mean"] > 1.0
