@@ -224,8 +224,8 @@ def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
            (btoa * (1 - alpha) + b * alpha) * (1 - mask)
 
 
-@partial(jax.jit, static_argnames=("mode", "weights"))
-def _mix_multi_jit(sfs, mask_onehot, *, mode: str, weights):
+@partial(jax.jit, static_argnames=("mode",))
+def _mix_multi_jit(sfs, mask_onehot, weights, *, mode: str):
     """N-style mixing (extension beyond the reference's 2-style cap).
 
     Region i of the categorical mask shows
@@ -235,13 +235,17 @@ def _mix_multi_jit(sfs, mask_onehot, *, mode: str, weights):
     (optex.py:193-206): region A shows A*(1-a) + AtoB*a, region B shows
     BtoA*(1-a) + B*a (regression-tested against :func:`_mix_pair_jit`).
 
-    ``sfs``: tuple of N (1, H, W, C) maps; ``mask_onehot``: (1, H, W, N).
+    ``sfs``: tuple of N (1, H, W, C) maps; ``mask_onehot``: (1, H, W, N);
+    ``weights``: (N,) array — TRACED, so serving different weight vectors
+    reuses one compiled program (the weights only scale a fixed linear
+    combination).
     """
     out = jnp.zeros_like(sfs[0])
     for i, si in enumerate(sfs):
         fi = jnp.zeros_like(si)
-        for j, w in enumerate(weights):
-            fi = fi + w * (si if j == i else histmatch.hist_match(si, sfs[j], mode))
+        for j in range(len(sfs)):
+            fi = fi + weights[j] * (si if j == i else
+                                    histmatch.hist_match(si, sfs[j], mode))
         out = out + fi * mask_onehot[..., i:i + 1]
     return out
 
@@ -477,9 +481,10 @@ class Synthesizer:
                     mask_key, jnp.log(jnp.asarray(w, jnp.float32)), shape=hw)
                 mask = jax.nn.one_hot(regions, n_styles,
                                       dtype=jnp.float32)[None]
+                w_arr = jnp.asarray(w, jnp.float32)
                 mixer = lambda sf, m: _mix_multi_jit(
-                    tuple(sf[i:i + 1] for i in range(n_styles)), m,
-                    mode=cfg.hist_mode, weights=w)
+                    tuple(sf[i:i + 1] for i in range(n_styles)), m, w_arr,
+                    mode=cfg.hist_mode)
             remixed = []
             for (sf, eigvecs, stats, mean) in prepared:
                 m = resize_nearest_nhwc(mask, sf.shape[1:3])

@@ -39,8 +39,8 @@ def test_multi_reduces_to_pair_blend():
     alpha = 0.3
     ref = core._mix_pair_jit(a, b, m, mode="chol", alpha=alpha)
     onehot = jnp.concatenate([m, 1.0 - m], axis=-1)
-    gen = core._mix_multi_jit((a, b), onehot, mode="chol",
-                              weights=(1.0 - alpha, alpha))
+    gen = core._mix_multi_jit((a, b), onehot,
+                              jnp.asarray([1.0 - alpha, alpha]), mode="chol")
     np.testing.assert_allclose(np.asarray(gen), np.asarray(ref),
                                rtol=0, atol=1e-5)
 
@@ -54,8 +54,8 @@ def test_multi_mix_identity_when_styles_equal():
         jax.random.fold_in(key, 1), jnp.log(jnp.asarray([0.5, 0.3, 0.2])),
         shape=(8, 8))
     onehot = jax.nn.one_hot(regions, 3, dtype=jnp.float32)[None]
-    out = core._mix_multi_jit((a, a, a), onehot, mode="chol",
-                              weights=(0.5, 0.3, 0.2))
+    out = core._mix_multi_jit((a, a, a), onehot,
+                              jnp.asarray([0.5, 0.3, 0.2]), mode="chol")
     np.testing.assert_allclose(np.asarray(out), np.asarray(a), atol=5e-2)
 
 
@@ -145,3 +145,20 @@ def test_three_style_mixing_under_dp():
     out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), styles)
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_mix_weights_are_traced_not_static():
+    """Different weight vectors must reuse ONE compiled mix program (a
+    serving instance sweeps weights without paying remote recompiles)."""
+    key = jax.random.key(8)
+    sfs = tuple(jax.random.normal(jax.random.fold_in(key, i),
+                                  (1, 8, 8, 16)) ** 2 for i in range(3))
+    onehot = jax.nn.one_hot(
+        jax.random.categorical(key, jnp.zeros(3), shape=(8, 8)), 3,
+        dtype=jnp.float32)[None]
+    core._mix_multi_jit.clear_cache()
+    core._mix_multi_jit(sfs, onehot, jnp.asarray([0.5, 0.3, 0.2]),
+                        mode="chol")
+    core._mix_multi_jit(sfs, onehot, jnp.asarray([0.1, 0.1, 0.8]),
+                        mode="chol")
+    assert core._mix_multi_jit._cache_size() == 1
