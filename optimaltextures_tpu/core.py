@@ -476,12 +476,11 @@ class Synthesizer:
                 # N-style generalization (see _mix_multi_jit)
                 w = np.asarray(cfg.mixing_weights if cfg.mixing_weights
                                else [1.0] * n_styles, dtype=np.float64)
-                w = tuple(float(x) for x in w / w.sum())
+                w_arr = jnp.asarray(w / w.sum(), jnp.float32)
                 regions = jax.random.categorical(
-                    mask_key, jnp.log(jnp.asarray(w, jnp.float32)), shape=hw)
+                    mask_key, jnp.log(w_arr), shape=hw)
                 mask = jax.nn.one_hot(regions, n_styles,
                                       dtype=jnp.float32)[None]
-                w_arr = jnp.asarray(w, jnp.float32)
                 mixer = lambda sf, m: _mix_multi_jit(
                     tuple(sf[i:i + 1] for i in range(n_styles)), m, w_arr,
                     mode=cfg.hist_mode)

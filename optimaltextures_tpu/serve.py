@@ -54,14 +54,22 @@ class SynthesizerPool:
     ``device``: optional jax device this pool's work is pinned to (the
     multi-worker serving mode runs one pool per chip)."""
 
+    MAX_ENTRIES = 8   # each entry pins a VGGBank + style caches on device
+
     def __init__(self, device=None):
-        self._cache = {}
+        from collections import OrderedDict
+
+        self._cache = OrderedDict()
         self.lock = threading.Lock()
         self.device = device
 
     def _sig(self, cfg: OptexConfig):
         d = dataclasses.asdict(cfg)
-        d.pop("style"), d.pop("content"), d.pop("output_dir")
+        # non-signature fields: I/O paths, and values the compiled programs
+        # TRACE rather than specialize on (mixing_weights), so requests
+        # sweeping weights share one warm Synthesizer
+        for k in ("style", "content", "output_dir", "mixing_weights"):
+            d.pop(k)
         return tuple(sorted((k, repr(v)) for k, v in d.items()))
 
     def get(self, cfg: OptexConfig):
@@ -70,7 +78,15 @@ class SynthesizerPool:
         sig = self._sig(cfg)
         if sig not in self._cache:
             self._cache[sig] = core.Synthesizer(cfg)
-        return self._cache[sig]
+            while len(self._cache) > self.MAX_ENTRIES:
+                self._cache.popitem(last=False)   # LRU: drop the coldest
+        self._cache.move_to_end(sig)
+        synth = self._cache[sig]
+        # refresh the run-varying non-signature fields (e.g. mixing_weights
+        # feeds the traced blend each run); every sig-relevant field is
+        # equal by construction
+        synth.cfg = cfg
+        return synth
 
     def __len__(self):
         return len(self._cache)
@@ -343,12 +359,16 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             if self.path != "/v1/synthesize":
                 self._json(404, {"error": "not found"})
                 return
+            import time as _time
+
             try:
                 n = int(self.headers.get("Content-Length", "0"))
             except ValueError:
+                workers.record("client_error", 0.0)
                 self._json(400, {"error": "bad Content-Length"})
                 return
             if not 0 <= n <= _MAX_REQUEST_BYTES:
+                workers.record("client_error", 0.0)
                 self._json(413, {"error": f"request body {n} bytes outside "
                                           f"[0, {_MAX_REQUEST_BYTES}]"})
                 return
@@ -357,12 +377,13 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 # must not hold a compute slot doing network I/O
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, TypeError) as e:
+                workers.record("client_error", 0.0)
                 self._json(400, {"error": str(e)})
                 return
-            import time as _time
-
+            # monotonic + started before checkout: the latency summary must
+            # expose queue wait (saturation is what an operator watches for)
+            t0 = _time.monotonic()
             idx = workers.checkout()
-            t0 = _time.time()
             try:
                 ctype, body = handle_synthesize(workers.pools[idx], payload,
                                                 config_defaults)
@@ -376,7 +397,7 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 return
             finally:
                 workers.checkin(idx)
-            workers.record("ok", _time.time() - t0)
+            workers.record("ok", _time.monotonic() - t0)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))

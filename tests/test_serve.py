@@ -397,3 +397,58 @@ def test_concurrent_stress_two_workers():
         assert ok == 8, text
     finally:
         srv.shutdown()
+
+
+def test_weight_sweep_shares_one_synthesizer():
+    """Different mixing_weights requests reuse ONE pooled Synthesizer (the
+    weights are traced, not part of the pool signature) — and both produce
+    valid, different images."""
+    srv = serve.serve(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        b64 = lambda p: base64.b64encode(open(p, "rb").read()).decode()
+        styles = [b64("/root/reference/style/zebra.jpg"),
+                  b64("/root/reference/style/pattern-small.jpg")]
+
+        def post(wts):
+            payload = {"config": {"size": 64, "passes": 1, "iters": 4,
+                                  "no_multires": True, "depth": 2, "seed": 0,
+                                  "mixing_weights": wts},
+                       "style_b64": styles}
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return r.read()
+
+        a = post([0.9, 0.1])
+        b = post([0.1, 0.9])
+        assert a[:8] == b"\x89PNG\r\n\x1a\n" and a != b
+        pool = [p for p in _pools(srv) if len(p)][0]
+        assert len(pool) == 1, "weight sweep must not grow the pool"
+    finally:
+        srv.shutdown()
+
+
+def test_rejected_requests_counted_in_metrics(server):
+    with urllib.request.urlopen(f"{server}/metrics") as r:
+        before = r.read().decode()
+    n0 = int([l for l in before.splitlines()
+              if 'outcome="client_error"' in l][0].rsplit(" ", 1)[1])
+    # oversized header -> 413, malformed json -> 400: both must count
+    for data, headers in [(b"x", {"Content-Length":
+                                  str(serve._MAX_REQUEST_BYTES + 1)}),
+                          (b"{not json", {})]:
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{server}/v1/synthesize", data=data,
+                headers={"Content-Type": "application/json", **headers}))
+        except urllib.error.HTTPError:
+            pass
+    with urllib.request.urlopen(f"{server}/metrics") as r:
+        after = r.read().decode()
+    n1 = int([l for l in after.splitlines()
+              if 'outcome="client_error"' in l][0].rsplit(" ", 1)[1])
+    assert n1 >= n0 + 2, (n0, n1)
