@@ -452,3 +452,65 @@ def test_rejected_requests_counted_in_metrics(server):
     n1 = int([l for l in after.splitlines()
               if 'outcome="client_error"' in l][0].rsplit(" ", 1)[1])
     assert n1 >= n0 + 2, (n0, n1)
+
+
+def test_pool_lru_eviction():
+    """The per-worker Synthesizer pool is an LRU capped at MAX_ENTRIES
+    (each entry pins a VGGBank on device); the coldest entry evicts."""
+    from optimaltextures_tpu.config import OptexConfig
+
+    pool = serve.SynthesizerPool()
+    cfgs = [OptexConfig(size=64, passes=1, iters=2 + i, no_multires=True,
+                        depth=1, seed=0, style=["s"])
+            for i in range(serve.SynthesizerPool.MAX_ENTRIES + 1)]
+    synth0 = pool.get(cfgs[0])
+    for c in cfgs[1:]:
+        pool.get(c)
+    assert len(pool) == serve.SynthesizerPool.MAX_ENTRIES
+    # cfg[0] (the coldest) was evicted: a new instance comes back
+    assert pool.get(cfgs[0]) is not synth0
+    # and a re-request of a warm config returns the SAME instance
+    warm = pool.get(cfgs[-1])
+    assert pool.get(cfgs[-1]) is warm
+
+
+def test_corrupt_style_pack_is_discarded(tmp_path, monkeypatch):
+    """A corrupt on-disk pack must be deleted and the request still served."""
+    monkeypatch.setenv("OPTEX_PACK_DIR", str(tmp_path))
+    srv = serve.serve(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        payload = {"config": {"size": 64, "passes": 1, "iters": 2,
+                              "no_multires": True, "depth": 1, "seed": 0},
+                   "style_b64": [_style_b64()]}
+
+        def post():
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return r.read()
+
+        png1 = post()                       # writes a pack
+        packs = list(tmp_path.iterdir())
+        assert len(packs) == 1
+        packs[0].write_bytes(b"not an npz")  # corrupt it
+
+        # a FRESH server (cold in-memory cache) must survive the corrupt
+        # pack: discard, recompute, and still return the same seeded bytes
+        srv2 = serve.serve(port=0)
+        t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+        t2.start()
+        try:
+            url2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+            req = urllib.request.Request(
+                f"{url2}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                assert r.read() == png1
+        finally:
+            srv2.shutdown()
+    finally:
+        srv.shutdown()
