@@ -119,15 +119,12 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
-    import os
-
     if (mode not in ("cdf", "sort") and content_feature is None
-            and os.environ.get("OPTEX_NO_COV_PROP") != "1"):
+            and transport.cov_propagation_enabled()):
         # covariance-propagated loop (see transport.transport_loop): the
         # joint covariance is psum'd ONCE, then propagated as M^T cov M —
         # every iteration after that is collective-free (the per-iteration
-        # psum of the sample Gram disappears). The env knob is read at TRACE
-        # time — set it before the first run of a process.
+        # psum of the sample Gram disappears)
         mu0, _, gram, n_local = _local_moments(feature)
         cov0 = jax.lax.psum(gram, axis) / (n_local * jax.lax.psum(1, axis))
         # mu0 is shard-varying (per-image local means); the carry's type must

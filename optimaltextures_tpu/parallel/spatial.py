@@ -151,14 +151,13 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
-    import os
+    from .. import transport
 
     if (mode not in ("cdf", "sort") and content_feature is None
-            and os.environ.get("OPTEX_NO_COV_PROP") != "1"):
+            and transport.cov_propagation_enabled()):
         # covariance-propagated loop (see transport.transport_loop): global
         # moments psum ONCE, then propagate cov = M^T cov M — the sequence-
-        # parallel loop runs collective-free after the first reduction.
-        # The env knob is read at TRACE time — set before the first run.
+        # parallel loop runs collective-free after the first reduction
         mu0, _, cov0 = _global_moments(feature, axis)
         mu_s = jnp.broadcast_to(style_mu, mu0.shape)
 

@@ -32,6 +32,7 @@ import dataclasses
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -359,8 +360,6 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             if self.path != "/v1/synthesize":
                 self._json(404, {"error": "not found"})
                 return
-            import time as _time
-
             try:
                 n = int(self.headers.get("Content-Length", "0"))
             except ValueError:
@@ -382,7 +381,7 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 return
             # monotonic + started before checkout: the latency summary must
             # expose queue wait (saturation is what an operator watches for)
-            t0 = _time.monotonic()
+            t0 = time.monotonic()
             idx = workers.checkout()
             try:
                 ctype, body = handle_synthesize(workers.pools[idx], payload,
@@ -397,7 +396,7 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 return
             finally:
                 workers.checkin(idx)
-            workers.record("ok", _time.monotonic() - t0)
+            workers.record("ok", time.monotonic() - t0)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))

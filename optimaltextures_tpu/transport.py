@@ -39,6 +39,16 @@ from .ops.rotation import random_rotation, stage_rotations, stage_rotations_mask
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def cov_propagation_enabled() -> bool:
+    """OPTEX_NO_COV_PROP=1 restores the recompute-from-data moment loops
+    (here and in the DP/spatial variants). Read at TRACE time — programs
+    already jit-cached in-process won't change; set it before the first
+    run."""
+    import os
+
+    return os.environ.get("OPTEX_NO_COV_PROP") != "1"
+
+
 class StyleStats(NamedTuple):
     """Per-(pass, layer) precomputed style statistics.
 
@@ -196,13 +206,8 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
-    import os
-
-    # OPTEX_NO_COV_PROP=1 restores the recompute-from-data loop. Read at
-    # TRACE time (programs already jit-cached in-process won't change) —
-    # set it before the process's first run.
     if (mode not in ("cdf", "sort") and content_feature is None
-            and os.environ.get("OPTEX_NO_COV_PROP") != "1"):
+            and cov_propagation_enabled()):
         # Covariance-propagated fast path: after a moment step
         # out = (x - mu_t) @ M + mu_s, the new statistics are known EXACTLY —
         # mu = mu_s and cov = M^T cov M (the transform is affine) — so the

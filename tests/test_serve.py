@@ -19,9 +19,13 @@ def server():
     srv.shutdown()
 
 
-def _style_b64():
-    with open("/root/reference/style/graffiti.jpg", "rb") as f:
+def _b64(path):
+    with open(path, "rb") as f:
         return base64.b64encode(f.read()).decode()
+
+
+def _style_b64():
+    return _b64("/root/reference/style/graffiti.jpg")
 
 
 def test_healthz(server):
@@ -173,15 +177,12 @@ def test_synthesize_with_content(server):
 
 def test_three_style_mixing_request(server):
     """N-style mixing over HTTP (extension): 3 styles + weights."""
-    def b64(name):
-        with open(f"/root/reference/style/{name}.jpg", "rb") as f:
-            return base64.b64encode(f.read()).decode()
-
+    s = lambda n: _b64(f"/root/reference/style/{n}.jpg")
     payload = {
         "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
                    "depth": 2, "seed": 1,
                    "mixing_weights": [0.5, 0.3, 0.2]},
-        "style_b64": [b64("zebra"), b64("pattern-small"), b64("lava-small")],
+        "style_b64": [s("zebra"), s("pattern-small"), s("lava-small")],
     }
     req = urllib.request.Request(f"{server}/v1/synthesize",
                                  data=json.dumps(payload).encode(),
@@ -191,7 +192,7 @@ def test_three_style_mixing_request(server):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
     # 9 styles must be rejected, not crash
-    payload["style_b64"] = [b64("zebra")] * 9
+    payload["style_b64"] = [s("zebra")] * 9
     payload["config"].pop("mixing_weights")
     req = urllib.request.Request(f"{server}/v1/synthesize",
                                  data=json.dumps(payload).encode(),
@@ -205,15 +206,11 @@ def test_three_style_mixing_request(server):
 
 def test_init_b64_request(server):
     """init_b64: start from an image; seeded requests stay byte-identical."""
-    def content_b64():
-        with open("/root/reference/content/rocket.jpg", "rb") as f:
-            return base64.b64encode(f.read()).decode()
-
     payload = {
         "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
                    "depth": 2, "seed": 0},
         "style_b64": [_style_b64()],
-        "init_b64": content_b64(),
+        "init_b64": _b64("/root/reference/content/rocket.jpg"),
     }
     def post():
         req = urllib.request.Request(f"{server}/v1/synthesize",
@@ -408,9 +405,8 @@ def test_weight_sweep_shares_one_synthesizer():
     t.start()
     try:
         url = f"http://127.0.0.1:{srv.server_address[1]}"
-        b64 = lambda p: base64.b64encode(open(p, "rb").read()).decode()
-        styles = [b64("/root/reference/style/zebra.jpg"),
-                  b64("/root/reference/style/pattern-small.jpg")]
+        styles = [_b64("/root/reference/style/zebra.jpg"),
+                  _b64("/root/reference/style/pattern-small.jpg")]
 
         def post(wts):
             payload = {"config": {"size": 64, "passes": 1, "iters": 4,
