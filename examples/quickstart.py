@@ -17,6 +17,7 @@ REF = "/root/reference"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--outdir", default="/tmp/optex_out")
     args = ap.parse_args()
 
@@ -27,7 +28,8 @@ def main() -> None:
 
     from optimaltextures_tpu import api
 
-    common = dict(size=args.size, output_dir=args.outdir, seed=0, iters=200)
+    common = dict(size=args.size, output_dir=args.outdir, seed=0,
+                  iters=args.iters)
 
     # 1. texture synthesis from noise
     api.synthesize_texture(f"{REF}/style/graffiti.jpg", **common)

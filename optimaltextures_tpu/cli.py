@@ -22,10 +22,14 @@ import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(
         prog="optex-tpu",
         description="TPU-native texture synthesis & style transfer via sliced "
                     "optimal transport")
+    p.add_argument("--version", action="version",
+                   version=f"optex-tpu {__version__}")
     p.add_argument("-s", "--style", type=str, nargs="+",
                    default=["style/graffiti.jpg"],
                    help="style exemplar images (2+ = texture mixing; the "
