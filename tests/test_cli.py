@@ -34,11 +34,14 @@ def test_config_from_args_roundtrip():
     cfg.validate()
 
 
-def test_three_styles_rejected():
-    args = parse(["-s", "a.jpg", "b.jpg", "c.jpg"])
-    cfg = api.config_from_args(args)
-    with pytest.raises(ValueError, match="between 1 and 2"):
-        cfg.validate()
+def test_style_count_bounds():
+    # 3-8 styles are the N-style mixing extension (the reference caps at 2);
+    # 9+ still rejects
+    cfg = api.config_from_args(parse(["-s", "a.jpg", "b.jpg", "c.jpg"]))
+    cfg.validate()
+    cfg9 = api.config_from_args(parse(["-s"] + [f"{i}.jpg" for i in range(9)]))
+    with pytest.raises(ValueError, match="between 1 and 8"):
+        cfg9.validate()
 
 
 def test_bad_hist_mode_rejected_by_parser(capsys):
