@@ -60,7 +60,12 @@ def _sample_cfg(rng):
 
 
 def test_random_config_compositions():
-    rng = np.random.default_rng(0xC0FFEE)
+    # default seed is pinned (deterministic CI); set OPTEX_FUZZ_SEED to
+    # sweep fresh composition samples in an exploratory session
+    import os
+
+    rng = np.random.default_rng(int(os.environ.get("OPTEX_FUZZ_SEED",
+                                                   0xC0FFEE)))
     ran = 0
     for trial in range(24):
         kw, n_styles, use_content = _sample_cfg(rng)
