@@ -37,8 +37,10 @@ class OptexConfig:
     batch: int = 1                    # noise pastiches per run (ignored with content)
     # Output width for synthesis (extension: the reference can only make
     # size x size noise). None = square. The multires chain scales the width
-    # with the pass sizes (same aspect rule content uses); ignored when a
-    # content or --init image defines the shape.
+    # with the pass sizes (same aspect rule content uses). Rejected together
+    # with a content image (content defines the output shape); with --init
+    # (no content) the init pastiche IS reshaped through the out_width chain
+    # — the starting image seeds the texture, the flags set the canvas.
     out_width: Optional[int] = None
     seed: Optional[int] = None
 

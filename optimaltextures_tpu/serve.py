@@ -64,12 +64,16 @@ class SynthesizerPool:
         self.lock = threading.Lock()
         self.device = device
 
+    # Fields NOT in the cache signature: I/O paths, values the compiled
+    # programs TRACE rather than specialize on (mixing_weights), and seed
+    # (it only keys the PRNG — clients sweeping seeds must share one warm
+    # Synthesizer instead of thrashing the LRU with VGGBank copies).
+    NON_SIG_FIELDS = ("style", "content", "output_dir", "mixing_weights",
+                      "seed")
+
     def _sig(self, cfg: OptexConfig):
         d = dataclasses.asdict(cfg)
-        # non-signature fields: I/O paths, and values the compiled programs
-        # TRACE rather than specialize on (mixing_weights), so requests
-        # sweeping weights share one warm Synthesizer
-        for k in ("style", "content", "output_dir", "mixing_weights"):
+        for k in self.NON_SIG_FIELDS:
             d.pop(k)
         return tuple(sorted((k, repr(v)) for k, v in d.items()))
 
@@ -83,10 +87,13 @@ class SynthesizerPool:
                 self._cache.popitem(last=False)   # LRU: drop the coldest
         self._cache.move_to_end(sig)
         synth = self._cache[sig]
-        # refresh the run-varying non-signature fields (e.g. mixing_weights
-        # feeds the traced blend each run); every sig-relevant field is
-        # equal by construction
-        synth.cfg = cfg
+        # refresh ONLY the known non-signature fields (a future field that
+        # feeds Synthesizer.__init__ is in the signature by construction —
+        # _sig pops an explicit list — so it can never go stale here), and
+        # re-key the PRNG for the request's seed
+        synth.cfg = dataclasses.replace(
+            synth.cfg, **{k: getattr(cfg, k) for k in self.NON_SIG_FIELDS})
+        synth.reseed(cfg.seed)
         return synth
 
     def __len__(self):
@@ -129,7 +136,7 @@ def _maybe_import_pack(synth, token: str) -> None:
     path = _pack_path(synth, token)
     if path is None or not os.path.exists(path):
         return
-    if any(k[0] == token for k in synth._style_prep_cache):
+    if any(k[0][0] == token for k in synth._style_prep_cache):
         return  # already warm in memory
     from .utils.stylepack import import_style_pack
 
@@ -255,9 +262,14 @@ def _run_locked(pool, cfg, styles, content, init, token):
         {"images_b64": [base64.b64encode(p).decode() for p in pngs]}).encode()
 
 
-# 8 styles + content + init as base64 PNGs comfortably fit; anything bigger
-# is a mistake or abuse (the body is read fully into memory)
-_MAX_REQUEST_BYTES = 256 * 1024 * 1024
+# 8 styles + content + init as base64 PNGs comfortably fit (8 x ~8 MB
+# 2048px PNGs x 4/3 b64 ~ 90 MB worst case); anything bigger is a mistake or
+# abuse. Bodies are read fully into memory, so concurrent reads are ALSO
+# bounded by a semaphore in the handler — ThreadingHTTPServer spawns an
+# unbounded thread per connection and K slow uploads must not buffer
+# K x _MAX_REQUEST_BYTES.
+_MAX_REQUEST_BYTES = 128 * 1024 * 1024
+_MAX_CONCURRENT_BODY_READS = 4
 
 
 class WorkerSet:
@@ -325,6 +337,9 @@ class WorkerSet:
 
 
 def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
+    body_read_sem = threading.BoundedSemaphore(
+        max(_MAX_CONCURRENT_BODY_READS, 2 * len(workers.pools)))
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -373,8 +388,10 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 return
             try:
                 # read + parse BEFORE checking out a worker: a slow upload
-                # must not hold a compute slot doing network I/O
-                payload = json.loads(self.rfile.read(n) or b"{}")
+                # must not hold a compute slot doing network I/O. The
+                # semaphore bounds how many bodies buffer concurrently.
+                with body_read_sem:
+                    payload = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, TypeError) as e:
                 workers.record("client_error", 0.0)
                 self._json(400, {"error": str(e)})

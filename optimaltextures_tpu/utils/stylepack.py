@@ -30,16 +30,23 @@ def _signature(synth) -> List:
 
 
 def export_style_pack(synth, styles_token, path: str) -> str:
-    """Write every finished cache entry for ``styles_token`` to ``path``."""
-    entries = [(full[1], e) for full, e in synth._style_prep_cache.items()
-               if full[0] == styles_token and e[4] is not None]
+    """Write every finished cache entry for ``styles_token`` to ``path``.
+
+    Cache keys are ``((token, content_fingerprint), ck)`` — run() verifies
+    tokens against the style arrays' content (core._styles_fingerprint).
+    The fingerprint rides in the manifest so an import re-keys entries
+    exactly as a fresh run() of the same styles would."""
+    entries = [(full, e) for full, e in synth._style_prep_cache.items()
+               if full[0][0] == styles_token and e[4] is not None]
     if not entries:
         raise ValueError(
             f"no finished style-prep cache entries for token {styles_token!r}"
             " — run() with styles_token at least once first")
 
     arrays = {}
-    manifest = {"version": 1, "signature": _signature(synth), "entries": []}
+    manifest = {"version": 2, "signature": _signature(synth),
+                "fingerprint": entries[0][0][0][1], "entries": []}
+    entries = [(full[1], e) for full, e in entries]
     for j, (ck, e) in enumerate(entries):
         ent = {"ck": ck, "widths": [int(w) for w in e[1]],
                "n_depths": len(e[4]),
@@ -71,6 +78,9 @@ def import_style_pack(synth, styles_token, path: str) -> int:
 
     z = np.load(path, allow_pickle=False)
     manifest = json.loads(str(z["manifest"]))
+    if manifest.get("version") != 2:
+        raise ValueError(f"style pack version {manifest.get('version')} "
+                         "unsupported (expected 2)")
     if manifest["signature"] != _signature(synth):
         raise ValueError(
             f"style pack signature {manifest['signature']} does not match "
@@ -90,7 +100,7 @@ def import_style_pack(synth, styles_token, path: str) -> int:
             masks.append(jnp.asarray(z[pre + "kmask"])
                          if ent["has_kmask"][i] else None)
         ck = ent["ck"]
-        full = (styles_token, ck)
+        full = ((styles_token, manifest["fingerprint"]), ck)
         synth._style_prep_cache[full] = [None, tuple(ent["widths"]),
                                          tuple(masks), full, slim]
     return len(manifest["entries"])

@@ -428,6 +428,35 @@ def test_weight_sweep_shares_one_synthesizer():
         srv.shutdown()
 
 
+def test_seed_sweep_shares_one_synthesizer():
+    """seed is NOT in the pool signature (clients sweeping seeds must not
+    thrash the LRU with VGGBank copies); the pooled instance re-keys per
+    request, so a fixed seed stays deterministic regardless of what other
+    seeds ran in between (ADVICE r2)."""
+    import jax
+    import numpy as np
+
+    from optimaltextures_tpu.config import OptexConfig
+
+    pool = serve.SynthesizerPool()
+    base = dict(size=64, passes=1, iters=4, no_multires=True, depth=1,
+                style=["s"])
+    s1 = pool.get(OptexConfig(seed=1, **base))
+    s2 = pool.get(OptexConfig(seed=2, **base))
+    assert s1 is s2 and len(pool) == 1, "seed sweep must not grow the pool"
+
+    k1 = pool.get(OptexConfig(seed=1, **base)).next_run_key()
+    pool.get(OptexConfig(seed=2, **base)).next_run_key()   # interleave
+    k1b = pool.get(OptexConfig(seed=1, **base)).next_run_key()
+    assert np.array_equal(np.asarray(jax.random.key_data(k1)),
+                          np.asarray(jax.random.key_data(k1b)))
+    # unseeded after seeded: fresh entropy, then the run counter advances
+    ka = pool.get(OptexConfig(seed=None, **base)).next_run_key()
+    kb = pool.get(OptexConfig(seed=None, **base)).next_run_key()
+    assert not np.array_equal(np.asarray(jax.random.key_data(ka)),
+                              np.asarray(jax.random.key_data(kb)))
+
+
 def test_rejected_requests_counted_in_metrics(server):
     with urllib.request.urlopen(f"{server}/metrics") as r:
         before = r.read().decode()
