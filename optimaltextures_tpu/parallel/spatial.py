@@ -195,6 +195,47 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
     return jax.lax.fori_loop(0, n_iters, body, feature)
 
 
+def make_spatial_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
+                      pca_flags, axis: str = "space",
+                      pad_mode: str = "reflect"):
+    """ALL of a pass's layer stages in ONE shard_map program over an
+    H-sharded image — the spatial twin of ``shard_ot.make_sharded_pass``
+    (see its docstring for the dispatch rationale). Halo-exchange convs per
+    layer; content features arrive H-sharded like the pastiche's features
+    (the content pull is elementwise). The pass's multires resize stays
+    standalone: bicubic taps cross shard boundaries, so resizing runs as a
+    plain jitted global op, not inside shard_map.
+    """
+    shard = P(None, axis, None, None)
+    rep = P()
+
+    def pass_local(enc_list, dec_list, pastiche, mus, covs, samples,
+                   eigvecs, contents, key, k_masks):
+        conv_dtype = enc_list[0][0][0].dtype
+        pastiche = pastiche.astype(conv_dtype)
+        for i, d in enumerate(depths):
+            feat = encode_spatial(enc_list[i], d, pastiche, axis, pad_mode)
+            feat = feat.astype(jnp.float32)
+            if pca_flags[i]:
+                feat = jnp.matmul(feat, eigvecs[i], precision=HIGHEST)
+            feat = spatial_transport_loop(
+                jax.random.fold_in(key, i), feat, mus[i], covs[i],
+                iters[i], mode, axis, style_samples=samples[i],
+                content_feature=contents[i], content_strength=strengths[i],
+                k_mask=k_masks[i])
+            if pca_flags[i]:
+                feat = jnp.matmul(feat, eigvecs[i].T, precision=HIGHEST)
+            pastiche = decode_spatial(dec_list[i], d, feat.astype(conv_dtype),
+                                      axis, pad_mode)
+        return pastiche.astype(jnp.float32)
+
+    fn = jax.shard_map(
+        pass_local, mesh=mesh,
+        in_specs=(rep, rep, shard, rep, rep, rep, rep, shard, rep, rep),
+        out_specs=shard)
+    return jax.jit(fn, donate_argnums=(2,))
+
+
 def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                        strength: float = 0.0, use_pca: bool = False,
                        axis: str = "space", pad_mode: str = "reflect"):
