@@ -158,6 +158,16 @@ def _content_prep_pass_jit(enc_params, cont, eigvecs_list, style_means,
     return out
 
 
+@jax.jit
+def _concat_svals_jit(svals):
+    """Concatenate every pending pass/depth's singular values into ONE flat
+    array so the k-decision drain is a single device->host transfer. Through
+    the axon tunnel each fetch pays ~35 ms RTT regardless of size; the 15
+    per-depth fetches of a cold 512px run were 0.56 s of a 0.68 s wall
+    (jax.profiler trace, docs/PERF.md round-3)."""
+    return jnp.concatenate(svals)
+
+
 @partial(jax.jit, static_argnames=("need_samples",))
 def _restat_jit(sf, *, need_samples: bool):
     """Recompute transport statistics after mixing."""
@@ -470,14 +480,19 @@ class Synthesizer:
             self.bank.enc_params[self.depth], style_tens,
             depth=self.depth, use_pca=not cfg.no_pca)
 
-    def _choose_widths(self, spectra):
+    def _choose_widths(self, spectra, svals_np=None):
         """Host k-decision for one pass's spectra: static program widths +
-        traced true-rank masks (pca_bucket)."""
+        traced true-rank masks (pca_bucket). ``svals_np`` supplies the
+        already-fetched eigenvalues (the batched drain in run()); None falls
+        back to per-depth fetches (standalone callers)."""
         cfg = self.cfg
         use_pca = not cfg.no_pca
         bucket = cfg.pca_bucket
-        true = [transport.choose_k(np.asarray(sv)) if use_pca else 0
-                for (_, sv, _) in spectra]
+        if svals_np is None:
+            svals_np = [np.asarray(sv) if use_pca else None
+                        for (_, sv, _) in spectra]
+        true = [transport.choose_k(sv) if use_pca else 0
+                for sv, (_, _, _) in zip(svals_np, spectra)]
         if bucket and use_pca:
             widths = tuple(min(-(-t // bucket) * bucket, sf.shape[-1])
                            for t, (sf, _, _) in zip(true, spectra))
@@ -638,9 +653,22 @@ class Synthesizer:
 
         # phase B: one host drain for every NEW prep's k decisions; with
         # pca_bucket the program width rounds UP to the bucket (capped at C)
-        # and the true rank rides along as a traced scalar
-        for entry in pending:
-            entry[1], entry[2] = self._choose_widths(entry[0])
+        # and the true rank rides along as a traced scalar. ALL pending
+        # eigenvalue vectors ride ONE concatenated device->host transfer —
+        # per-array fetches pay the tunnel RTT each (see _concat_svals_jit)
+        svals_by_entry = [None] * len(pending)
+        if pending and use_pca:
+            svals = [sv for e in pending for (_, sv, _) in e[0]]
+            flat = np.asarray(_concat_svals_jit(tuple(svals)))
+            offs = np.cumsum([0] + [s.shape[0] for s in svals])
+            j = 0
+            for idx, e in enumerate(pending):
+                n = len(e[0])
+                svals_by_entry[idx] = [flat[offs[j + i]:offs[j + i + 1]]
+                                       for i in range(n)]
+                j += n
+        for entry, sv in zip(pending, svals_by_entry):
+            entry[1], entry[2] = self._choose_widths(entry[0], sv)
             if styles_token is not None:
                 self._style_prep_cache[entry[3]] = entry
         while len(self._style_prep_cache) > 6 * max(cfg.passes, 1):
