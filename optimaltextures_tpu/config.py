@@ -78,10 +78,17 @@ class OptexConfig:
     num_devices: int = 1
     # Number of devices to shard ONE image's height axis over (halo-exchange
     # convs + sequence-parallel OT; content matching shards with the image).
-    # chol/pca/sym/cdf; mutually exclusive with num_devices > 1.
+    # All five hist modes compose (sort runs the exact distributed sort);
+    # mutually exclusive with num_devices > 1.
     spatial_devices: int = 1
     # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
     use_pallas: bool = True
+    # Covariance-propagated OT loops (one sample GEMM per iteration; exact
+    # in closed form, drift bounded ~3e-5 over the longest stage — see
+    # docs/PERF.md r2). A CONFIG field so the switch participates in jit
+    # keys and the serving-pool signature; the OPTEX_NO_COV_PROP env var
+    # still force-disables it for A/B tooling (ADVICE r2).
+    cov_propagation: bool = True
     # Round the PCA rank k UP to a multiple of this bucket (0 = exact k).
     # Keeps program shapes stable across styles (compile-cache friendly);
     # mathematically identical to exact-k: eigvecs are zero-padded and
@@ -139,9 +146,6 @@ class OptexConfig:
             if self.num_devices > 1:
                 raise ValueError("num_devices and spatial_devices are mutually "
                                  "exclusive")
-            if self.hist_mode == "sort":
-                raise ValueError("spatial sharding supports chol|pca|sym|cdf "
-                                 "(sort would need a distributed sort)")
             if self.batch != 1:
                 raise ValueError("spatial sharding runs a single image "
                                  "(batch must be 1)")

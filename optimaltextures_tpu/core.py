@@ -179,7 +179,8 @@ def _restat_jit(sf, *, need_samples: bool):
 def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
                       depths, iters, mode: str, strengths, pca_flags,
                       use_pallas=None, pad_mode: str = "reflect",
-                      resize_to=None, resize_circular: bool = False):
+                      resize_to=None, resize_circular: bool = False,
+                      cov_prop: bool = True):
     """ALL of a pass's layer stages in ONE program: the pass's multires
     resize (``resize_to``, in float32 — parity with the standalone step),
     the f32<->conv_dtype casts, and for each depth (deepest first)
@@ -205,7 +206,8 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
         feat = transport.transport_loop(
             jax.random.fold_in(key, i), feat, targets[i].stats, iters[i], mode,
             content_feature=targets[i].content, content_strength=strengths[i],
-            k_mask=targets[i].k_mask, use_pallas=use_pallas)
+            k_mask=targets[i].k_mask, use_pallas=use_pallas,
+            cov_prop=cov_prop)
         if pca_flags[i]:
             feat = jnp.matmul(feat, targets[i].eigvecs.T,
                               precision=jax.lax.Precision.HIGHEST)
@@ -215,7 +217,8 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
 
 
 _PASS_STATICS = ("depths", "iters", "mode", "strengths", "pca_flags",
-                 "use_pallas", "pad_mode", "resize_to", "resize_circular")
+                 "use_pallas", "pad_mode", "resize_to", "resize_circular",
+                 "cov_prop")
 # resize passes change the buffer shape, so donation can't apply there (and
 # jax warns); gate-skip passes donate the same-shape pastiche buffer
 _pass_stages_jit = partial(jax.jit, static_argnames=_PASS_STATICS,
@@ -368,7 +371,8 @@ class Synthesizer:
                 self.mesh, depths=tuple(self.layer_depths), iters=iters,
                 mode=self.cfg.hist_mode, strengths=strengths,
                 pca_flags=pca_flags,
-                pad_mode="wrap" if self.cfg.tileable else "reflect")
+                pad_mode="wrap" if self.cfg.tileable else "reflect",
+                cov_prop=self.cfg.cov_propagation)
         return self._dp_stages[key]
 
     def _dp_shard(self, pastiche):
@@ -385,7 +389,8 @@ class Synthesizer:
                 self.space_mesh, depths=tuple(self.layer_depths), iters=iters,
                 mode=self.cfg.hist_mode, strengths=strengths,
                 pca_flags=pca_flags,
-                pad_mode="wrap" if self.cfg.tileable else "reflect")
+                pad_mode="wrap" if self.cfg.tileable else "reflect",
+                cov_prop=self.cfg.cov_propagation)
         return self._sp_stages[key]
 
     def _sp_shard(self, pastiche):
@@ -796,7 +801,8 @@ class Synthesizer:
                     use_pallas=use_pallas,
                     pad_mode="wrap" if cfg.tileable else "reflect",
                     resize_to=cont_size if do_resize else None,
-                    resize_circular=cfg.tileable)
+                    resize_circular=cfg.tileable,
+                    cov_prop=cfg.cov_propagation)
                 if timing:
                     pastiche.block_until_ready()
                     print(f"  pass stages: {(time.time()-t0)*1000:.1f} ms",

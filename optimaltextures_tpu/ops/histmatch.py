@@ -124,6 +124,64 @@ def moment_transform(cov_t: jnp.ndarray, cov_s: jnp.ndarray, mode: str,
     return a
 
 
+def style_congruence_batch(rotations: jnp.ndarray, cov_s_raw: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """R_i^T Cov_s R_i for a whole stage's rotation batch at once.
+
+    Inside the OT loops the STYLE side of every iteration is independent of
+    the loop carry, so re-expressing the style covariance in each rotated
+    basis can leave the serial chain entirely: one batched einsum (pure MXU)
+    replaces 2 C x C matmuls per iteration of the sequential fori_loop body.
+    """
+    return jnp.einsum("nji,jk,nkl->nil", rotations, cov_s_raw, rotations,
+                      precision=HIGHEST)
+
+
+def style_factor_batch(cov_s_rots: jnp.ndarray, mode: str,
+                       eps: float = 1.0) -> jnp.ndarray:
+    """Precompute the style-side decomposition for every iteration, batched.
+
+    chol: Cholesky factors L_s (batched — TPU cholesky is sequential
+    per-matrix, so hoisting it out of the fori_loop shortens each
+    iteration's critical path); pca: PSD square roots Q_s (batched
+    Newton-Schulz); sym: just the ridged covariance (its expensive factors
+    depend on the target side).
+    """
+    c = cov_s_rots.shape[-1]
+    cs = cov_s_rots + eps * jnp.eye(c, dtype=cov_s_rots.dtype)
+    if mode == "chol":
+        return jnp.linalg.cholesky(cs)
+    if mode == "pca":
+        return jax.vmap(lambda m: _psd_sqrt_and_inv(m)[0])(cs)
+    if mode == "sym":
+        return cs
+    raise ValueError(f"unknown moment mode {mode!r}")
+
+
+def moment_transform_pre(cov_t: jnp.ndarray, style_factor: jnp.ndarray,
+                         mode: str, eps: float = 1.0) -> jnp.ndarray:
+    """:func:`moment_transform` with the style side precomputed
+    (:func:`style_factor_batch`); only the target-side work stays in the
+    sequential loop body."""
+    c = cov_t.shape[0]
+    ct = cov_t + eps * jnp.eye(c, dtype=cov_t.dtype)
+    if mode == "chol":
+        lt = jnp.linalg.cholesky(ct)
+        return jax.lax.linalg.triangular_solve(lt, style_factor,
+                                               left_side=False, lower=True)
+    if mode == "pca":
+        _, qt_inv = _psd_sqrt_and_inv(ct)
+        return jnp.matmul(style_factor, qt_inv, precision=HIGHEST)
+    if mode == "sym":
+        qt, qt_inv = _psd_sqrt_and_inv(ct)
+        m = jnp.matmul(jnp.matmul(qt, style_factor, precision=HIGHEST), qt,
+                       precision=HIGHEST)
+        msqrt, _ = _psd_sqrt_and_inv(m)
+        return jnp.matmul(jnp.matmul(qt_inv, msqrt, precision=HIGHEST),
+                          qt_inv, precision=HIGHEST)
+    raise ValueError(f"unknown moment mode {mode!r}")
+
+
 def moment_match(target: jnp.ndarray, source: jnp.ndarray, mode: str,
                  eps: float = 1.0) -> jnp.ndarray:
     """Full moment matching, NHWC -> NHWC."""
@@ -249,13 +307,20 @@ def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     by original index — no argsort-of-argsort, no dynamic gather (slow on
     TPU).
     """
-    import numpy as np
-
     bt, h, w, c = target.shape
     t = target.reshape(-1, c).T  # (C, Nt)
     s = source.reshape(-1, c).T  # (C, Ns)
-    nt, ns = t.shape[1], s.shape[1]
+    return sort_match_rows(t, s).T.reshape(bt, h, w, c)
 
+
+def sort_match_rows(t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Row-major core of :func:`sort_match`: t (C, Nt) matched to s (C, Ns)
+    per row, returned in t's original sample order. Also the building block
+    of the DISTRIBUTED sort mode (parallel/shard_ot._sort_step_sharded),
+    which all-gathers the sample axis and slices its shard back out."""
+    import numpy as np
+
+    nt, ns = t.shape[1], s.shape[1]
     s_sorted = jnp.sort(s, axis=1)
     iota = jnp.broadcast_to(jnp.arange(nt, dtype=jnp.int32), t.shape)
     _, order = jax.lax.sort((t, iota), dimension=1, num_keys=1,
@@ -265,7 +330,7 @@ def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     matched_sorted = s_sorted[:, src_idx]          # static gather
     _, out = jax.lax.sort((order, matched_sorted), dimension=1, num_keys=1,
                           is_stable=True)
-    return out.T.reshape(bt, h, w, c)
+    return out
 
 
 # ----------------------------------------------------------------------------

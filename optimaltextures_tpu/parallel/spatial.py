@@ -115,12 +115,15 @@ def ot_step_moment_spatial(key, feature, style_mu, style_cov_raw, mode: str,
 
 
 def _moment_step_spatial(rot, feature, style_mu, style_cov_raw, mode: str,
-                         axis: str, eps: float = 1.0):
+                         axis: str, eps: float = 1.0, sfactor=None):
     c = feature.shape[-1]
     mu_t, xc, cov_t_raw = _global_moments(feature, axis)
     cov_t_rot = rot.T @ (cov_t_raw @ rot)
-    cov_s_rot = rot.T @ (style_cov_raw @ rot)
-    a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+    if sfactor is None:
+        cov_s_rot = rot.T @ (style_cov_raw @ rot)
+        a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+    else:
+        a = histmatch.moment_transform_pre(cov_t_rot, sfactor, mode, eps)
     m = rot @ (a.T @ rot.T)
     b, h, w, _ = feature.shape
     out = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c)
@@ -130,15 +133,17 @@ def _moment_step_spatial(rot, feature, style_mu, style_cov_raw, mode: str,
 def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
                            n_iters: int, mode: str, axis: str,
                            style_samples=None, content_feature=None,
-                           content_strength: float = 0.0, k_mask=None):
+                           content_strength: float = 0.0, k_mask=None,
+                           cov_prop=None):
     """The OT loop on an H-sharded feature map.
 
     Moment modes reduce means AND covariances globally (sequence-parallel
     moments); cdf mode reuses the sharded-histogram step from
     :mod:`shard_ot` (pmin/pmax range + psum'd 256-bin target histogram —
-    axis-generic, exact global CDF). The content pull is elementwise, so an
-    H-sharded content feature map applies shard-locally. ``sort`` would need
-    a distributed sort and is rejected by config validation.
+    axis-generic, exact global CDF); ``sort`` runs the exact distributed
+    sort (all-gathered sample axis, shard_ot._sort_step_sharded — the r2
+    rejection is lifted). The content pull is elementwise, so an H-sharded
+    content feature map applies shard-locally.
     """
     if n_iters == 0:
         return feature
@@ -153,8 +158,16 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
 
     from .. import transport
 
-    if (mode not in ("cdf", "sort") and content_feature is None
-            and transport.cov_propagation_enabled()):
+    moment_mode = mode not in ("cdf", "sort")
+    if moment_mode:
+        # carry-independent style side batched out of the loop (replicated
+        # inputs — no collectives added); see transport.transport_loop
+        cov_s_rots = histmatch.style_congruence_batch(rotations, style_cov_raw)
+        sfactors = histmatch.style_factor_batch(cov_s_rots, mode, 1.0)
+
+    use_prop = ((cov_prop if cov_prop is not None else True)
+                and transport.cov_propagation_enabled())
+    if moment_mode and content_feature is None and use_prop:
         # covariance-propagated loop (see transport.transport_loop): global
         # moments psum ONCE, then propagate cov = M^T cov M — the sequence-
         # parallel loop runs collective-free after the first reduction
@@ -165,8 +178,8 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
             feat, mu, cov = carry
             rot = rotations[i]
             cov_t_rot = rot.T @ (cov @ rot)
-            cov_s_rot = rot.T @ (style_cov_raw @ rot)
-            a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, 1.0)
+            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
+                                               1.0)
             m = rot @ (a.T @ rot.T)
             b, h, w, _ = feat.shape
             xc = (feat - mu).reshape(-1, c)
@@ -185,9 +198,13 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
             from .shard_ot import _cdf_step_sharded
 
             feat = _cdf_step_sharded(rot, feat, style_samples, axis)
+        elif mode == "sort":
+            from .shard_ot import _sort_step_sharded
+
+            feat = _sort_step_sharded(rot, feat, style_samples, axis)
         else:
             feat = _moment_step_spatial(rot, feat, style_mu, style_cov_raw,
-                                        mode, axis)
+                                        mode, axis, sfactor=sfactors[i])
         if content_feature is not None:
             feat = feat + content_strength * (content_feature - feat)
         return feat
@@ -197,7 +214,7 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
 
 def make_spatial_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
                       pca_flags, axis: str = "space",
-                      pad_mode: str = "reflect"):
+                      pad_mode: str = "reflect", cov_prop=None):
     """ALL of a pass's layer stages in ONE shard_map program over an
     H-sharded image — the spatial twin of ``shard_ot.make_sharded_pass``
     (see its docstring for the dispatch rationale). Halo-exchange convs per
@@ -222,7 +239,7 @@ def make_spatial_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
                 jax.random.fold_in(key, i), feat, mus[i], covs[i],
                 iters[i], mode, axis, style_samples=samples[i],
                 content_feature=contents[i], content_strength=strengths[i],
-                k_mask=k_masks[i])
+                k_mask=k_masks[i], cov_prop=cov_prop)
             if pca_flags[i]:
                 feat = jnp.matmul(feat, eigvecs[i].T, precision=HIGHEST)
             pastiche = decode_spatial(dec_list[i], d, feat.astype(conv_dtype),
@@ -238,7 +255,8 @@ def make_spatial_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
 
 def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                        strength: float = 0.0, use_pca: bool = False,
-                       axis: str = "space", pad_mode: str = "reflect"):
+                       axis: str = "space", pad_mode: str = "reflect",
+                       cov_prop=None):
     """Jitted full stage over an H-sharded pastiche: halo-exchange encode ->
     sequence-parallel OT loop -> halo-exchange decode.
 
@@ -262,7 +280,7 @@ def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
                                       style_samples=style_samples,
                                       content_feature=content_feat,
                                       content_strength=strength,
-                                      k_mask=k_mask)
+                                      k_mask=k_mask, cov_prop=cov_prop)
         if use_pca:
             feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
         return decode_spatial(dec_params, depth, feat.astype(pastiche.dtype),

