@@ -126,6 +126,10 @@ CONFIGS = {
     1: dict(name="synthesis_256", size=256,
             style=[f"{REF}/style/graffiti.jpg"], content=None,
             kw={}),
+    2: dict(name="transfer_512", size=512,
+            style=[f"{REF}/style/lava-small.jpg"],
+            content=f"{REF}/content/rocket.jpg",
+            kw=dict(content_strength=0.2)),
     3: dict(name="mixing_512", size=512,
             style=[f"{REF}/style/zebra.jpg", f"{REF}/style/pattern-small.jpg"],
             content=None, kw=dict(mixing_alpha=0.5)),
@@ -161,13 +165,16 @@ def main():
         spec = CONFIGS[cid]
         torch.manual_seed(0)
         styles = ref_util.load_styles(spec["style"], spec["size"], 1.0)
-        content = None
+        content = ref_util.maybe_load_content(spec.get("content"),
+                                              spec["size"])
         model = build_model(ref_optex, ref_vgg, spec["size"], args.iters,
                             args.passes, "chol", **spec["kw"])
         walls = []
         with torch.inference_mode():
             for r in range(args.runs):
-                pastiche = torch.rand(1, 3, spec["size"], spec["size"])
+                # content runs take the content's shape (optex.py:263)
+                pastiche = (torch.rand(content.shape) if content is not None
+                            else torch.rand(1, 3, spec["size"], spec["size"]))
                 t0 = time.time()
                 out = model.forward(pastiche, styles, content)
                 walls.append(time.time() - t0)
