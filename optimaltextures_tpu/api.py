@@ -46,6 +46,44 @@ def run_files(cfg: OptexConfig, verbose: bool = False
     return out_np, seconds, paths
 
 
+def run_style_parallel(cfg: OptexConfig, verbose: bool = False
+                       ) -> Tuple[np.ndarray, float, List[str]]:
+    """Style-parallel synthesis: ONE output texture per --style image,
+    one style per device when num_devices > 1 (the serving transpose of the
+    reference's --batch, SURVEY §2.2), single-device otherwise. PCA and the
+    multires schedule fully apply (r3). Returns (outputs (N,H,W,3), seconds,
+    written paths — one PNG per style, named per style)."""
+    import time
+
+    cfg = cfg.validate()
+    if cfg.content is not None:
+        raise ValueError("style_parallel is synthesis-only (no content)")
+    styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
+    if any(s.shape != styles[0].shape for s in styles[1:]):
+        raise ValueError("style_parallel needs equal style shapes")
+    mesh = None
+    if cfg.num_devices > 1:
+        from .parallel.mesh import make_mesh
+
+        if len(styles) != cfg.num_devices:
+            raise ValueError(f"{len(styles)} styles for num_devices="
+                             f"{cfg.num_devices}: pass one style per device")
+        mesh = make_mesh(cfg.num_devices)
+
+    from .parallel.style_dp import synthesize_style_batch
+
+    t0 = time.time()
+    out = synthesize_style_batch(cfg, styles, mesh, verbose=verbose)
+    out.block_until_ready()
+    seconds = time.time() - t0
+    out_np = np.asarray(out)
+    paths: List[str] = []
+    for i, sp in enumerate(cfg.style):
+        sub = dataclasses.replace(cfg, style=[sp])
+        paths += imageio.save_images(out_np[i:i + 1], sub)
+    return out_np, seconds, paths
+
+
 def synthesize_texture(style: str, size: int = 512, **overrides) -> np.ndarray:
     """Texture synthesis from noise matched to one style exemplar."""
     cfg = OptexConfig(style=[style], size=size, **overrides)

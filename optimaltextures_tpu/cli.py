@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="depth<5 content-matching rule: 'index' = the "
                         "reference's literal l<=2 positions, 'depth' = "
                         "anchor at VGG depths >= 3 (identical at depth 5)")
+    p.add_argument("--style_parallel", action="store_true",
+                   help="synthesize ONE texture per --style image instead "
+                        "of mixing (one style per chip when --num_devices "
+                        "matches the style count; extension beyond the "
+                        "reference)")
+    p.add_argument("--no_cov_prop", action="store_true",
+                   help="disable covariance-propagated OT loops (recompute "
+                        "statistics from data every iteration; A/B tool)")
     p.add_argument("--tileable", action="store_true",
                    help="seamlessly tileable synthesis: circular conv "
                         "padding + wrap-tap multires resize on the pastiche "
@@ -132,13 +140,18 @@ def main(argv=None) -> int:
     cfg = api.config_from_args(args)
     cfg.compat_schedule_quirk = not args.no_schedule_quirk
     cfg.use_pallas = not args.no_pallas
+    cfg.cov_propagation = not args.no_cov_prop
 
     profiler_cm = None
     if args.profile_dir:
         profiler_cm = jax.profiler.trace(args.profile_dir)
         profiler_cm.__enter__()
     try:
-        _, seconds, paths = api.run_files(cfg, verbose=args.verbose)
+        if args.style_parallel:
+            _, seconds, paths = api.run_style_parallel(cfg,
+                                                       verbose=args.verbose)
+        else:
+            _, seconds, paths = api.run_files(cfg, verbose=args.verbose)
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)

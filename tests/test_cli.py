@@ -44,6 +44,34 @@ def test_style_count_bounds():
         cfg9.validate()
 
 
+def test_style_parallel_e2e(tmp_path):
+    """--style_parallel writes ONE per-style-named PNG per style (no
+    mixing), running the lifted EP path single-device (r3)."""
+    import numpy as np
+    from PIL import Image
+
+    rc = cli.main(["-s", "/root/reference/style/graffiti.jpg",
+                   "/root/reference/style/graffiti.jpg",
+                   "--style_parallel", "--size", "64", "--passes", "1",
+                   "--iters", "2", "--no_multires", "--depth", "1",
+                   "--seed", "0", "--quiet",
+                   "--output_dir", str(tmp_path)])
+    assert rc == 0
+    pngs = sorted(tmp_path.glob("*.png"))
+    assert len(pngs) == 1  # same style name twice -> same file, overwritten
+    arr = np.asarray(Image.open(pngs[0]))
+    assert arr.shape == (64, 64, 3)
+
+
+def test_style_parallel_rejects_content():
+    from optimaltextures_tpu.config import OptexConfig
+
+    cfg = OptexConfig(style=["/root/reference/style/graffiti.jpg"],
+                      content="/root/reference/content/rocket.jpg")
+    with pytest.raises(ValueError, match="synthesis-only"):
+        api.run_style_parallel(cfg)
+
+
 def test_bad_hist_mode_rejected_by_parser(capsys):
     with pytest.raises(SystemExit):
         parse(["--hist_mode", "nope"])
