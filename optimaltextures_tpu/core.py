@@ -227,6 +227,40 @@ _pass_stages_jit_resize = partial(jax.jit,
                                   static_argnames=_PASS_STATICS)(_pass_stages_impl)
 
 
+def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
+                     *, depths, plans, mode: str, strengths_all,
+                     pca_flags_all, use_pallas=None,
+                     pad_mode: str = "reflect",
+                     resize_circular: bool = False, cov_prop: bool = True):
+    """The WHOLE run's pass chain in ONE program: every pass's multires
+    resize + all its layer stages, chained on-device. One dispatch + one
+    final sync per run where the per-pass path pays 5 dispatches + the
+    resize/cast traffic — on this 1-core host the run is dispatch-bound, not
+    device-bound (docs/PERF.md r3 trace), so the fusion is the warm-path
+    floor. ``plans``: per-pass (resize_to | None, iters tuple)."""
+    for p, (resize_to, iters) in enumerate(plans):
+        pastiche = _pass_stages_impl(
+            enc_params, dec_params, pastiche, targets_all[p],
+            jax.random.fold_in(run_key, p),
+            depths=depths, iters=iters, mode=mode,
+            strengths=strengths_all[p], pca_flags=pca_flags_all[p],
+            use_pallas=use_pallas, pad_mode=pad_mode,
+            resize_to=resize_to, resize_circular=resize_circular,
+            cov_prop=cov_prop)
+    return pastiche
+
+
+_RUN_STATICS = ("depths", "plans", "mode", "strengths_all", "pca_flags_all",
+                "use_pallas", "pad_mode", "resize_circular", "cov_prop")
+# donation applies only when the run's entry shape equals its final shape
+# (the usual case: noise at the target size, internal multires down/up);
+# runs that end at a different size use the non-donating twin
+_run_stages_jit = partial(jax.jit, static_argnames=_RUN_STATICS,
+                          donate_argnums=(2,))(_run_stages_impl)
+_run_stages_jit_nodonate = partial(jax.jit,
+                                   static_argnames=_RUN_STATICS)(_run_stages_impl)
+
+
 @partial(jax.jit, static_argnames=("mode", "alpha"))
 def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
     """Blend two same-shape style feature maps with a binary spatial mask and
@@ -699,9 +733,14 @@ class Synthesizer:
             else:
                 conts.append(content)
 
+        # phase C: finish every pass's targets (device work already in
+        # flight from phase A; this is host assembly + a few dispatches)
+        per_pass = []   # (adj_targets, strengths, iters, do_resize, cont_size, pass_key)
         for p in range(cfg.passes):
             if verbose:
                 print(f"Pass {p}, size {self.sizes[p]}", flush=True)
+                for d in self.layer_depths:
+                    print(f"Layer: relu{d}_1", flush=True)
             pass_key = jax.random.fold_in(run_key, p)
             t0 = time.time()
             e = entries[p]
@@ -716,15 +755,6 @@ class Synthesizer:
                     e[4] = slim
             targets = self._assemble_targets(slim, conts[p], masks_all[p])
             _, do_resize, cont_size = plan[p]
-            # single-device runs fuse the resize into the pass program (one
-            # dispatch per pass); the sharded paths resize standalone
-            fuse_resize = self.mesh is None and self.space_mesh is None
-            if do_resize and not fuse_resize:
-                pastiche = _resize_jit(pastiche, size=cont_size,
-                                       circular=cfg.tileable)
-            if timing:
-                jax.block_until_ready([pastiche] + [t.stats.cov_raw for t in targets])
-                print(f"  pass prep: {(time.time()-t0)*1000:.1f} ms", flush=True)
 
             # content matching only at the 3 deepest of the 5 layers
             # (optex.py:115-117: l <= 2), with strength /16 /8 /4 of
@@ -748,65 +778,90 @@ class Synthesizer:
                            LayerTargets(tgt.stats, tgt.eigvecs, None,
                                         tgt.k_mask))
                 strengths.append(float(strength) if has_content else 0.0)
+            per_pass.append((tuple(adj), tuple(strengths),
+                             tuple(int(i) for i in self.iters_table[p]),
+                             do_resize, cont_size, pass_key))
+            if timing:
+                jax.block_until_ready([t.stats.cov_raw for t in targets])
+                print(f"  pass prep: {(time.time()-t0)*1000:.1f} ms", flush=True)
 
-            if ((self.mesh is not None and content is None)
-                    or self.space_mesh is not None):
-                # DP path (synthesis only — the reference ignores --batch
-                # with content, optex.py:263): batch sharded, collectives
-                # once per pass (the
-                # joint covariance psum). SP path: one image's H axis
-                # sharded; halo-exchange convs + sequence-parallel OT (exact
-                # global moments / psum'd global cdf histograms), content
-                # features H-sharded like the pastiche's features. Either
-                # way, ALL the pass's layers run as ONE fused shard_map
-                # program — one dispatch + one device_put per pass, exactly
-                # like the single-device `_pass_stages_jit` (VERDICT r2
-                # next-step #4; per-layer dispatch dominated before).
-                if verbose:
-                    for d in self.layer_depths:
-                        print(f"Layer: relu{d}_1", flush=True)
-                iters = tuple(int(i) for i in self.iters_table[p])
-                pca_flags = tuple(t.eigvecs is not None for t in adj)
-                if self.mesh is not None:
-                    stage = self._dp_pass(iters, tuple(strengths), pca_flags)
-                    pastiche = self._dp_shard(pastiche)
+        # phase D: execute. Single-device non-timing runs fuse the WHOLE
+        # chain (every pass's resize + stages) into ONE program — one
+        # dispatch per run (docs/PERF.md r3: the host, not the device, is
+        # the bottleneck). OPTEX_TIMING keeps the per-pass dispatch path so
+        # per-pass walls stay observable. Sharded paths run one fused
+        # program per pass (collectives inside).
+        enc_all = tuple(self.bank.enc_params[d] for d in self.layer_depths)
+        dec_all = tuple(self.bank.dec_params[d] for d in self.layer_depths)
+        depths = tuple(self.layer_depths)
+        pad_mode = "wrap" if cfg.tileable else "reflect"
+        if self.mesh is None and self.space_mesh is None and not timing:
+            plans = tuple(((cs if rs else None), iters)
+                          for (_, _, iters, rs, cs, _) in per_pass)
+            final_hw = tuple(pastiche.shape[1:3])
+            for (_, rs, cs) in plan:
+                if rs:
+                    final_hw = tuple(cs)
+            run_fn = (_run_stages_jit
+                      if final_hw == tuple(pastiche.shape[1:3])
+                      else _run_stages_jit_nodonate)
+            pastiche = run_fn(
+                enc_all, dec_all, pastiche,
+                tuple(t for (t, *_) in per_pass), run_key,
+                depths=depths, plans=plans, mode=cfg.hist_mode,
+                strengths_all=tuple(s for (_, s, *_) in per_pass),
+                pca_flags_all=tuple(
+                    tuple(t.eigvecs is not None for t in adj)
+                    for (adj, *_) in per_pass),
+                use_pallas=use_pallas, pad_mode=pad_mode,
+                resize_circular=cfg.tileable, cov_prop=cfg.cov_propagation)
+        else:
+            for (adj, strengths, iters, do_resize, cont_size,
+                 pass_key) in per_pass:
+                if ((self.mesh is not None and content is None)
+                        or self.space_mesh is not None):
+                    # DP path (synthesis only — the reference ignores
+                    # --batch with content, optex.py:263): batch sharded,
+                    # collectives once per pass (the joint covariance psum).
+                    # SP path: one image's H axis sharded; halo-exchange
+                    # convs + sequence-parallel OT (exact global moments /
+                    # psum'd global cdf histograms), content features
+                    # H-sharded like the pastiche's features.
+                    if do_resize:
+                        pastiche = _resize_jit(pastiche, size=cont_size,
+                                               circular=cfg.tileable)
+                    pca_flags = tuple(t.eigvecs is not None for t in adj)
+                    if self.mesh is not None:
+                        stage = self._dp_pass(iters, strengths, pca_flags)
+                        pastiche = self._dp_shard(pastiche)
+                    else:
+                        stage = self._sp_pass(iters, strengths, pca_flags)
+                        pastiche = self._sp_shard(pastiche)
+                    pastiche = stage(
+                        enc_all, dec_all, pastiche,
+                        tuple(t.stats.mu for t in adj),
+                        tuple(t.stats.cov_raw for t in adj),
+                        tuple(t.stats.samples for t in adj),
+                        tuple(t.eigvecs for t in adj),
+                        tuple(t.content for t in adj),
+                        pass_key, tuple(t.k_mask for t in adj))
                 else:
-                    stage = self._sp_pass(iters, tuple(strengths), pca_flags)
-                    pastiche = self._sp_shard(pastiche)
-                pastiche = stage(
-                    tuple(self.bank.enc_params[d] for d in self.layer_depths),
-                    tuple(self.bank.dec_params[d] for d in self.layer_depths),
-                    pastiche,
-                    tuple(t.stats.mu for t in adj),
-                    tuple(t.stats.cov_raw for t in adj),
-                    tuple(t.stats.samples for t in adj),
-                    tuple(t.eigvecs for t in adj),
-                    tuple(t.content for t in adj),
-                    pass_key, tuple(t.k_mask for t in adj))
-            else:
-                if verbose:
-                    for d in self.layer_depths:
-                        print(f"Layer: relu{d}_1", flush=True)
-                t0 = time.time()
-                stage_fn = _pass_stages_jit_resize if do_resize else \
-                    _pass_stages_jit
-                pastiche = stage_fn(
-                    tuple(self.bank.enc_params[d] for d in self.layer_depths),
-                    tuple(self.bank.dec_params[d] for d in self.layer_depths),
-                    pastiche, tuple(adj), pass_key,
-                    depths=tuple(self.layer_depths),
-                    iters=tuple(int(i) for i in self.iters_table[p]),
-                    mode=cfg.hist_mode, strengths=tuple(strengths),
-                    pca_flags=tuple(t.eigvecs is not None for t in adj),
-                    use_pallas=use_pallas,
-                    pad_mode="wrap" if cfg.tileable else "reflect",
-                    resize_to=cont_size if do_resize else None,
-                    resize_circular=cfg.tileable,
-                    cov_prop=cfg.cov_propagation)
-                if timing:
-                    pastiche.block_until_ready()
-                    print(f"  pass stages: {(time.time()-t0)*1000:.1f} ms",
-                          flush=True)
+                    t0 = time.time()
+                    stage_fn = _pass_stages_jit_resize if do_resize else \
+                        _pass_stages_jit
+                    pastiche = stage_fn(
+                        enc_all, dec_all, pastiche, adj, pass_key,
+                        depths=depths, iters=iters, mode=cfg.hist_mode,
+                        strengths=strengths,
+                        pca_flags=tuple(t.eigvecs is not None for t in adj),
+                        use_pallas=use_pallas, pad_mode=pad_mode,
+                        resize_to=cont_size if do_resize else None,
+                        resize_circular=cfg.tileable,
+                        cov_prop=cfg.cov_propagation)
+                    if timing:
+                        pastiche.block_until_ready()
+                        print(f"  pass stages: "
+                              f"{(time.time()-t0)*1000:.1f} ms", flush=True)
 
         if cfg.color_transfer is not None:
             if content is None:
