@@ -58,6 +58,14 @@ def run_style_parallel(cfg: OptexConfig, verbose: bool = False
     cfg = cfg.validate()
     if cfg.content is not None:
         raise ValueError("style_parallel is synthesis-only (no content)")
+    unsupported = [name for name, bad in [
+        ("tileable", cfg.tileable), ("init", cfg.init is not None),
+        ("out_width", cfg.out_width is not None), ("batch", cfg.batch != 1),
+        ("color_transfer", cfg.color_transfer is not None),
+        ("spatial_devices", cfg.spatial_devices > 1)] if bad]
+    if unsupported:
+        raise ValueError("style_parallel does not support: "
+                         + ", ".join(unsupported))
     styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
     if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("style_parallel needs equal style shapes")
@@ -138,14 +146,17 @@ def synthesize_style_batch(styles: List[str], size: int = 512,
     """Style-PARALLEL synthesis: one texture per style, one style per device
     (collective-free throughput scaling — the serving transpose of the
     reference's joint-stats ``--batch``). Styles must load to one shape.
-    ``num_devices`` defaults to len(styles). Returns (N, H, W, 3)."""
+    ``num_devices`` defaults to len(styles); 1 runs the same per-style math
+    on a single device. PCA + the multires schedule fully apply (the r2
+    no-PCA/uniform-schedule restrictions are lifted). Returns (N, H, W, 3)."""
     from .parallel.mesh import make_mesh
-    from .parallel.style_dp import synthesize_styles
+    from .parallel.style_dp import synthesize_style_batch as _batch
 
-    cfg = OptexConfig(style=styles[:1], size=size, no_pca=True, **overrides)
+    cfg = OptexConfig(style=list(styles), size=size, **overrides)
     imgs = [imageio.load_image(s, size, oversize=False) for s in styles]
-    mesh = make_mesh(num_devices or len(styles))
-    return np.asarray(synthesize_styles(cfg, imgs, mesh))
+    n = num_devices or len(styles)
+    mesh = make_mesh(n) if n > 1 else None
+    return np.asarray(_batch(cfg, imgs, mesh))
 
 
 def config_from_args(args) -> OptexConfig:

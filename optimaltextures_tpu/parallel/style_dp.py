@@ -161,7 +161,7 @@ def _ep_stats_jit(sfs, vs, true_ks, *, ks, need_samples: bool):
     return out
 
 
-def _ep_pass_body(depths, iters, mode, pca_flags, cov_prop,
+def _ep_pass_body(depths, iters, mode, pca_flags, cov_prop, use_pallas,
                   enc_list, dec_list, pastiche, mus, covs, samples,
                   eigvecs, k_masks, key):
     """One device's whole-pass body: a single (pastiche, style) pair —
@@ -185,7 +185,7 @@ def _ep_pass_body(depths, iters, mode, pca_flags, cov_prop,
         feat = T.transport_loop(
             jax.random.fold_in(key, i), feat, stats, iters[i], mode,
             k_mask=(k_masks[i][0] if k_masks[i] is not None else None),
-            cov_prop=cov_prop)
+            cov_prop=cov_prop, use_pallas=use_pallas)
         if pca_flags[i]:
             feat = jnp.matmul(feat, eigvecs[i][0].T, precision=HIGHEST)
         pastiche = decode(dec_list[i], d, feat.astype(conv_dtype))
@@ -194,13 +194,14 @@ def _ep_pass_body(depths, iters, mode, pca_flags, cov_prop,
 
 def make_style_parallel_pass(mesh: Mesh, *, depths, iters, mode: str,
                              pca_flags, axis: str = "data",
-                             cov_prop=None):
+                             cov_prop=None, use_pallas=None):
     """ALL of a pass's layers in ONE shard_map program, one (pastiche_i,
     style_i) pair per device (see :func:`_ep_pass_body`). Collective-free
     (per-style statistics are local by construction). ``mesh=None`` returns
     a jitted single-device variant of the same body (the reference mode —
     used for 1-chip serving and the equality tests)."""
-    body = partial(_ep_pass_body, depths, iters, mode, pca_flags, cov_prop)
+    body = partial(_ep_pass_body, depths, iters, mode, pca_flags, cov_prop,
+                   use_pallas)
     if mesh is None:
         return jax.jit(body, donate_argnums=(2,))
 
@@ -267,7 +268,9 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
             jax.random.fold_in(key, 999), (n, cfg.size, cfg.size, 3),
             jnp.float32)
     else:
-        pastiche = jnp.asarray(pastiche, jnp.float32)
+        # copy: the pass programs donate their input buffer (CLAUDE.md
+        # invariant — a caller-supplied array must survive the run)
+        pastiche = jnp.array(pastiche, dtype=jnp.float32, copy=True)
     if mesh is not None:
         pastiche = jax.device_put(pastiche, batch_sharding(mesh))
 
@@ -342,7 +345,8 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
             passes_cache[sk] = make_style_parallel_pass(
                 mesh, depths=tuple(layer_depths), iters=iters,
                 mode=cfg.hist_mode, pca_flags=pca_flags,
-                cov_prop=cfg.cov_propagation)
+                cov_prop=cfg.cov_propagation,
+                use_pallas=None if cfg.use_pallas else False)
         enc_list = tuple(bank.enc_params[d] for d in layer_depths)
         dec_list = tuple(bank.dec_params[d] for d in layer_depths)
         mus = tuple(mu for (_, mu, _, _) in stats)
@@ -384,7 +388,11 @@ def synthesize_styles(cfg, styles, mesh: Mesh, verbose: bool = False):
     import numpy as np
 
     n = len(styles)
-    if mesh is not None and n != mesh.devices.size:
+    if mesh is None:
+        raise ValueError("synthesize_styles requires a mesh; use "
+                         "synthesize_style_batch(mesh=None) for the "
+                         "single-device per-style path")
+    if n != mesh.devices.size:
         raise ValueError(f"{n} styles for {mesh.devices.size} devices")
     if len({tuple(s.shape) for s in styles}) != 1:
         raise ValueError("style-parallel synthesis needs equal style shapes")

@@ -243,7 +243,10 @@ def _run_locked(pool, cfg, styles, content, init, token):
                                    dtype=jnp.float32)
     # styles_token: repeated requests with the same style bytes skip all
     # style conv/eigh device work + the k-decision sync (prep cache)
-    out = synth.run(noise, [jnp.asarray(s) for s in styles],
+    # styles stay HOST numpy here: run() fingerprints them for the token
+    # cache key, and hashing host bytes is free while fingerprinting device
+    # arrays costs one tunnel round-trip per style (review r3)
+    out = synth.run(noise, styles,
                     jnp.asarray(content) if content is not None else None,
                     key=run_key, styles_token=token)
     batch = np.clip(np.asarray(out), 0.0, 1.0)
@@ -341,6 +344,10 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
         max(_MAX_CONCURRENT_BODY_READS, 2 * len(workers.pools)))
 
     class Handler(BaseHTTPRequestHandler):
+        # socket read timeout: a stalled upload must release its body-read
+        # semaphore slot instead of blocking other clients forever
+        timeout = 120
+
         def log_message(self, *args):  # quiet
             pass
 
@@ -389,9 +396,17 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             try:
                 # read + parse BEFORE checking out a worker: a slow upload
                 # must not hold a compute slot doing network I/O. The
-                # semaphore bounds how many bodies buffer concurrently.
+                # semaphore bounds how many bodies buffer concurrently; the
+                # class-level socket timeout bounds how long each holds it.
                 with body_read_sem:
                     payload = json.loads(self.rfile.read(n) or b"{}")
+            except (TimeoutError, OSError):
+                workers.record("client_error", 0.0)
+                try:
+                    self._json(408, {"error": "request body read timed out"})
+                except OSError:
+                    pass
+                return
             except (ValueError, TypeError) as e:
                 workers.record("client_error", 0.0)
                 self._json(400, {"error": str(e)})

@@ -34,8 +34,10 @@ def export_style_pack(synth, styles_token, path: str) -> str:
 
     Cache keys are ``((token, content_fingerprint), ck)`` — run() verifies
     tokens against the style arrays' content (core._styles_fingerprint).
-    The fingerprint rides in the manifest so an import re-keys entries
-    exactly as a fresh run() of the same styles would."""
+    Each entry's fingerprint rides in the manifest PER ENTRY, so an import
+    re-keys it exactly as a fresh run() of the same styles would — entries
+    from a stale-reused token (different content, different fingerprint)
+    stay separate instead of merging under one fingerprint."""
     entries = [(full, e) for full, e in synth._style_prep_cache.items()
                if full[0][0] == styles_token and e[4] is not None]
     if not entries:
@@ -44,11 +46,12 @@ def export_style_pack(synth, styles_token, path: str) -> str:
             " — run() with styles_token at least once first")
 
     arrays = {}
-    manifest = {"version": 2, "signature": _signature(synth),
-                "fingerprint": entries[0][0][0][1], "entries": []}
-    entries = [(full[1], e) for full, e in entries]
-    for j, (ck, e) in enumerate(entries):
-        ent = {"ck": ck, "widths": [int(w) for w in e[1]],
+    manifest = {"version": 2, "signature": _signature(synth), "entries": []}
+    entries = [(full, e) for full, e in entries]
+    for j, (full, e) in enumerate(entries):
+        ck = full[1]
+        ent = {"ck": ck, "fingerprint": full[0][1],
+               "widths": [int(w) for w in e[1]],
                "n_depths": len(e[4]),
                "has_eigvecs": [], "has_samples": [], "has_kmask": []}
         for i, (eigvecs, stats, mean) in enumerate(e[4]):
@@ -100,7 +103,7 @@ def import_style_pack(synth, styles_token, path: str) -> int:
             masks.append(jnp.asarray(z[pre + "kmask"])
                          if ent["has_kmask"][i] else None)
         ck = ent["ck"]
-        full = ((styles_token, manifest["fingerprint"]), ck)
+        full = ((styles_token, ent["fingerprint"]), ck)
         synth._style_prep_cache[full] = [None, tuple(ent["widths"]),
                                          tuple(masks), full, slim]
     return len(manifest["entries"])
