@@ -47,6 +47,27 @@ def test_style_pack_roundtrip(tmp_path, monkeypatch, extra, rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pack_stale_token_entries_stay_separate(tmp_path, rng):
+    """A token stale-reused for DIFFERENT styles produces cache entries
+    under distinct fingerprints; export/import must keep them separate
+    (per-entry fingerprints) so a post-import run with the FIRST style
+    still gets the first style's statistics (review r3)."""
+    style_a = [imageio.load_image(STYLE, 64, oversize=False)]
+    style_b = [imageio.load_image("/root/reference/style/zebra.jpg", 64,
+                                  oversize=False)]
+    noise = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+
+    donor = core.Synthesizer(_cfg())
+    a = np.asarray(donor.run(noise, style_a, styles_token="t"))
+    donor.run(noise, style_b, styles_token="t")   # stale reuse, new fp
+    path = export_style_pack(donor, "t", str(tmp_path / "pack.npz"))
+
+    fresh = core.Synthesizer(_cfg())
+    import_style_pack(fresh, "t", path)
+    a2 = np.asarray(fresh.run(noise, style_a, styles_token="t"))
+    np.testing.assert_array_equal(a, a2)
+
+
 def test_style_pack_guards(tmp_path, rng):
     styles = [imageio.load_image(STYLE, 64, oversize=False)]
     noise = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
