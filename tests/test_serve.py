@@ -428,6 +428,36 @@ def test_weight_sweep_shares_one_synthesizer():
         srv.shutdown()
 
 
+def test_stalled_body_read_times_out():
+    """A client that sends headers but stalls mid-body must get a 408 and
+    release its body-read semaphore slot instead of blocking other
+    connections forever (review r3: slow-loris guard)."""
+    import socket
+
+    srv = serve.serve(port=0)
+    srv.RequestHandlerClass.timeout = 1   # don't wait 120s in CI
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.server_address[1]),
+                                     timeout=10)
+        s.sendall(b"POST /v1/synthesize HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  b"Content-Length: 1000\r\n\r\n{")   # then stall
+        s.settimeout(10)
+        data = s.recv(4096)
+        assert b"408" in data.split(b"\r\n", 1)[0], data[:80]
+        s.close()
+        # the server still answers normal requests afterwards
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_address[1]}/healthz",
+                timeout=10) as r:
+            assert r.status == 200
+    finally:
+        srv.RequestHandlerClass.timeout = 120
+        srv.shutdown()
+
+
 def test_seed_sweep_shares_one_synthesizer():
     """seed is NOT in the pool signature (clients sweeping seeds must not
     thrash the LRU with VGGBank copies); the pooled instance re-keys per
