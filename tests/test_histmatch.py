@@ -182,3 +182,33 @@ def test_sort_match_ties_and_oracle(rng):
         q = np.clip(((ranks + 0.5) * (ns / nt)).astype(np.int64), 0, ns - 1)
         want[:, ch] = np.sort(sf[:, ch])[q]
     np.testing.assert_array_equal(got.reshape(-1, 4), want)
+
+
+def test_style_factor_precompute_matches_full_transform(rng):
+    """style_congruence_batch + style_factor_batch + moment_transform_pre
+    must reproduce moment_transform exactly for every mode — the loop-body
+    rewrite (r3: style side hoisted out of the fori_loop) is a pure
+    refactor of the math."""
+    import jax
+
+    from optimaltextures_tpu.ops.rotation import stage_rotations
+
+    c, n_rot = 24, 5
+    a = rng.normal(size=(c, 3 * c)).astype(np.float32)
+    b = rng.normal(size=(c, 3 * c)).astype(np.float32)
+    cov_t = jnp.asarray(a @ a.T / (3 * c))
+    cov_s = jnp.asarray(b @ b.T / (3 * c))
+    rots = stage_rotations(jax.random.key(3), n_rot, c)
+
+    cov_s_rots = histmatch.style_congruence_batch(rots, cov_s)
+    for mode in ("chol", "pca", "sym"):
+        sfactors = histmatch.style_factor_batch(cov_s_rots, mode, 1.0)
+        for i in range(n_rot):
+            rot = rots[i]
+            cov_t_rot = rot.T @ (cov_t @ rot)
+            cov_s_rot = rot.T @ (cov_s @ rot)
+            want = histmatch.moment_transform(cov_t_rot, cov_s_rot, mode, 1.0)
+            got = histmatch.moment_transform_pre(cov_t_rot, sfactors[i],
+                                                 mode, 1.0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)
