@@ -71,6 +71,24 @@ def test_unseeded_reruns_draw_fresh_keys():
     np.testing.assert_array_equal(a, b)
 
 
+def test_fused_run_equals_per_pass_path(monkeypatch):
+    """The whole-run fused program (r3) must match the per-pass dispatch
+    path (what OPTEX_TIMING uses) — same pass keys, same stage math, only
+    the dispatch granularity differs."""
+    cfg = OptexConfig(size=96, passes=2, iters=8, depth=2, seed=4,
+                      style=[STYLE])
+    styles = [imageio.load_image(STYLE, 96, oversize=False)]
+    noise = np.random.default_rng(5).uniform(
+        size=(1, 96, 96, 3)).astype(np.float32)
+
+    monkeypatch.delenv("OPTEX_TIMING", raising=False)
+    fused = np.asarray(core.Synthesizer(cfg).run(jnp.asarray(noise), styles))
+    monkeypatch.setenv("OPTEX_TIMING", "1")
+    perpass = np.asarray(core.Synthesizer(cfg).run(jnp.asarray(noise),
+                                                   styles))
+    np.testing.assert_allclose(fused, perpass, rtol=2e-4, atol=2e-4)
+
+
 def test_stale_styles_token_cannot_poison_cache():
     """A styles_token that a caller wrongly reuses for DIFFERENT style
     images must not serve the first style's cached statistics: the token is
