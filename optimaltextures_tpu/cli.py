@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "stay shape-stable across styles (0 = exact rank); "
                         "mathematically identical via zero-padded eigvecs + "
                         "blockdiag rotations")
+    p.add_argument("--pca_traced_k", action="store_true",
+                   help="compute the PCA rank on device (full-width "
+                        "programs, traced rank mask): zero host syncs "
+                        "before the final fetch — lowest latency on "
+                        "high-RTT links / small sizes")
     p.add_argument("--spatial_devices", type=int, default=1,
                    help="shard ONE image's height axis over this many chips "
                         "(halo-exchange convs + sequence-parallel OT; "

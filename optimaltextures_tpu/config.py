@@ -94,6 +94,14 @@ class OptexConfig:
     # mathematically identical to exact-k: eigvecs are zero-padded and
     # rotations drawn blockdiag(SO(k), I) so padded dims stay exactly zero.
     pca_bucket: int = 0
+    # Compute the PCA rank ON DEVICE (argmax of the cumulative-spectrum
+    # rule) and run every program at the full channel width with a traced
+    # rank mask: the k-decision host sync disappears entirely, so a run has
+    # ZERO host round-trips until the final fetch. Trades OT FLOPs (full-C
+    # matmuls instead of k-wide) for latency — wins when the device is
+    # idle-waiting on the host/link (small sizes, high-RTT links, cold
+    # serving styles); identical math to pca_bucket >= C (tested).
+    pca_traced_k: bool = False
 
     # --- I/O -----------------------------------------------------------------
     style: List[str] = dataclasses.field(default_factory=lambda: ["style/graffiti.jpg"])
@@ -130,6 +138,11 @@ class OptexConfig:
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
         if self.pca_bucket < 0:
             raise ValueError("pca_bucket must be >= 0")
+        if self.pca_traced_k and self.pca_bucket:
+            raise ValueError("pca_traced_k runs at the full channel width; "
+                             "pca_bucket does not apply (set one, not both)")
+        if self.pca_traced_k and self.no_pca:
+            raise ValueError("pca_traced_k needs PCA enabled")
         if self.out_width is not None:
             if self.content is not None:
                 raise ValueError("out_width applies to synthesis only (a "

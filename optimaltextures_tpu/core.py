@@ -159,6 +159,21 @@ def _content_prep_pass_jit(enc_params, cont, eigvecs_list, style_means,
 
 
 @jax.jit
+def _traced_ks_jit(svals):
+    """The reference's k rule (transport.choose_k: first index where the
+    cumulative singular-value share exceeds 0.9, exclusive, clamped >= 1)
+    computed ON DEVICE as traced scalars — the pca_traced_k mode's
+    replacement for the host k-decision. With it, a run performs ZERO
+    device->host syncs before the final fetch."""
+    out = []
+    for s in svals:
+        frac = jnp.cumsum(s) / jnp.sum(s)
+        k = jnp.argmax(frac > 0.9).astype(jnp.int32)
+        out.append(jnp.maximum(k, 1))
+    return tuple(out)
+
+
+@jax.jit
 def _concat_svals_jit(svals):
     """Concatenate every pending pass/depth's singular values into ONE flat
     array so the k-decision drain is a single device->host transfer. Through
@@ -527,6 +542,12 @@ class Synthesizer:
         cfg = self.cfg
         use_pca = not cfg.no_pca
         bucket = cfg.pca_bucket
+        if use_pca and cfg.pca_traced_k:
+            # no host decision at all: full static width per depth, rank as
+            # a traced device scalar (see _traced_ks_jit)
+            widths = tuple(sf.shape[-1] for (sf, _, _) in spectra)
+            masks = _traced_ks_jit(tuple(sv for (_, sv, _) in spectra))
+            return widths, masks
         if svals_np is None:
             svals_np = [np.asarray(sv) if use_pca else None
                         for (_, sv, _) in spectra]
@@ -696,7 +717,7 @@ class Synthesizer:
         # eigenvalue vectors ride ONE concatenated device->host transfer —
         # per-array fetches pay the tunnel RTT each (see _concat_svals_jit)
         svals_by_entry = [None] * len(pending)
-        if pending and use_pca:
+        if pending and use_pca and not cfg.pca_traced_k:
             svals = [sv for e in pending for (_, sv, _) in e[0]]
             flat = np.asarray(_concat_svals_jit(tuple(svals)))
             offs = np.cumsum([0] + [s.shape[0] for s in svals])

@@ -44,8 +44,8 @@ _CONFIG_FIELDS = {
     "content_strength", "style_scale", "mixing_alpha", "mixing_weights",
     "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
-    "spatial_devices", "pca_bucket", "use_pallas", "compat_schedule_quirk",
-    "content_anchor", "tileable", "out_width",
+    "spatial_devices", "pca_bucket", "pca_traced_k", "use_pallas",
+    "compat_schedule_quirk", "content_anchor", "tileable", "out_width",
 }
 
 

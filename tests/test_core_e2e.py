@@ -332,3 +332,26 @@ def test_plan_passes_gate_semantics():
     plan = synth._plan_passes((96, 64), None)
     assert plan == [(96, False, None), (64, False, None),
                     (32, True, (32, 32))]
+
+
+def test_pca_traced_k_equals_full_width_bucket():
+    """pca_traced_k (rank computed on device, full-width programs, zero
+    host syncs before the final fetch) must equal a pca_bucket run whose
+    bucket covers the full channel width — same static widths, same masks,
+    hence the identical rotation stream and math."""
+    base = dict(size=96, passes=2, iters=8, depth=2, seed=6, style=[STYLE])
+    styles = [imageio.load_image(STYLE, 96, oversize=False)]
+    noise = np.random.default_rng(8).uniform(
+        size=(1, 96, 96, 3)).astype(np.float32)
+
+    a = np.asarray(core.Synthesizer(OptexConfig(**base, pca_traced_k=True))
+                   .run(jnp.asarray(noise), styles))
+    b = np.asarray(core.Synthesizer(OptexConfig(**base, pca_bucket=1024))
+                   .run(jnp.asarray(noise), styles))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        OptexConfig(**base, pca_traced_k=True, pca_bucket=16).validate()
+    with pytest.raises(ValueError, match="needs PCA"):
+        OptexConfig(**base, pca_traced_k=True, no_pca=True).validate()
