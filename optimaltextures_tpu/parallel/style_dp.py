@@ -215,7 +215,7 @@ def make_style_parallel_pass(mesh: Mesh, *, depths, iters, mode: str,
 
 
 def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
-                           pastiche=None, _force_widths=None):
+                           pastiche=None, bank=None, _force_widths=None):
     """Full style-parallel synthesis WITHOUT the r2 restrictions: one
     pastiche per style, one style per device, with PCA (per-style ranks,
     bucketed to a shared static width per depth) and the full multires
@@ -248,7 +248,10 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
         raise ValueError("style-parallel synthesis needs equal style shapes")
 
     cfg = cfg.validate()
-    bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
+    # a caller-supplied bank (e.g. a warm serving pool's) skips the weight
+    # re-upload; its dtype must match the requested conv dtype
+    if bank is None:
+        bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
     depth = bank.max_depth
     use_pca = not cfg.no_pca
     bucket = cfg.pca_bucket or 32
@@ -398,7 +401,10 @@ def synthesize_styles(cfg, styles, mesh: Mesh, verbose: bool = False):
         raise ValueError("style-parallel synthesis needs equal style shapes")
 
     cfg = cfg.validate()
-    bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
+    # a caller-supplied bank (e.g. a warm serving pool's) skips the weight
+    # re-upload; its dtype must match the requested conv dtype
+    if bank is None:
+        bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
     depth = bank.max_depth
     iters_table, _ = schedule.iters_and_sizes(
         cfg.size, cfg.iters, cfg.passes, False,  # uniform schedule (see doc)

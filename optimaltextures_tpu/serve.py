@@ -13,9 +13,12 @@ lock. See docs/SERVING.md for the production guide.
       {"config": {"size": 256, "iters": 100, ...},
        "style_b64": ["<base64 png/jpg>", ...],   # 1-8 (3+ = N-style mixing)
        "content_b64": "<base64 png/jpg>",        # optional
-       "init_b64": "<base64 png/jpg>"}           # optional starting pastiche
+       "init_b64": "<base64 png/jpg>",           # optional starting pastiche
+       "style_parallel": true}                   # optional: ONE texture per
+                                                 # style (no mixing; EP path)
     -> 200 image/png (the synthesized pastiche), or application/json with
-       every image base64-encoded when config.batch > 1
+       every image base64-encoded when config.batch > 1 or style_parallel
+       with 2+ styles
 
     GET /healthz -> {"status": "ok", "devices": [...], "cached": N,
                      "workers": W}
@@ -201,6 +204,31 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
             raise ValueError("batch > 1 with init_b64 produces identical "
                              "images; use batch=1")
 
+    if payload.get("style_parallel"):
+        # one output texture PER style (no mixing) — the EP path
+        if content is not None or init is not None:
+            raise ValueError("style_parallel is synthesis-only "
+                             "(no content_b64/init_b64)")
+        bad = [n for n, b in [("tileable", cfg.tileable),
+                              ("out_width", cfg.out_width is not None),
+                              ("batch", cfg.batch != 1),
+                              ("color_transfer",
+                               cfg.color_transfer is not None),
+                              ("spatial_devices",
+                               cfg.spatial_devices > 1)] if b]
+        if bad:
+            raise ValueError("style_parallel does not support: "
+                             + ", ".join(bad))
+        with pool.lock:
+            import contextlib
+
+            import jax
+
+            dev_cm = (jax.default_device(pool.device)
+                      if pool.device is not None else contextlib.nullcontext())
+            with dev_cm:
+                return _run_style_parallel_locked(pool, cfg, styles)
+
     # stable (process-independent) style identity: used for the in-memory
     # prep cache AND as the on-disk style-pack filename
     import hashlib
@@ -251,7 +279,12 @@ def _run_locked(pool, cfg, styles, content, init, token):
                     key=run_key, styles_token=token)
     batch = np.clip(np.asarray(out), 0.0, 1.0)
     _maybe_export_pack(synth, token, n_styles=len(styles))
+    return _encode_batch(batch)
 
+
+def _encode_batch(batch):
+    """(N, H, W, 3) floats -> ("image/png", bytes) for N == 1, else
+    ("application/json", {"images_b64": [...]})."""
     from PIL import Image
 
     pngs = []
@@ -263,6 +296,26 @@ def _run_locked(pool, cfg, styles, content, init, token):
         return "image/png", pngs[0]
     return "application/json", json.dumps(
         {"images_b64": [base64.b64encode(p).decode() for p in pngs]}).encode()
+
+
+def _run_style_parallel_locked(pool, cfg, styles):
+    """Style-parallel request (one output per style): reuses the pooled
+    Synthesizer's warm VGGBank (no per-request weight upload), one style
+    per chip when num_devices > 1, the single-device per-style path
+    otherwise. Always returns every image (JSON for 2+ styles)."""
+    synth = pool.get(cfg)
+    from .parallel.style_dp import synthesize_style_batch
+
+    mesh = None
+    if cfg.num_devices > 1:
+        from .parallel.mesh import make_mesh
+
+        if len(styles) != cfg.num_devices:
+            raise ValueError(f"{len(styles)} styles for num_devices="
+                             f"{cfg.num_devices}: pass one style per device")
+        mesh = make_mesh(cfg.num_devices)
+    out = synthesize_style_batch(cfg, styles, mesh, bank=synth.bank)
+    return _encode_batch(np.clip(np.asarray(out), 0.0, 1.0))
 
 
 # 8 styles + content + init as base64 PNGs comfortably fit (8 x ~8 MB

@@ -428,6 +428,31 @@ def test_weight_sweep_shares_one_synthesizer():
         srv.shutdown()
 
 
+def test_style_parallel_request(server):
+    """"style_parallel": true returns ONE image per style (no mixing),
+    via the EP path with the pooled warm VGGBank (r3)."""
+    import base64 as b64mod
+
+    styles = [_b64("/root/reference/style/graffiti.jpg"),
+              _b64("/root/reference/style/graffiti.jpg")]
+    payload = {"config": {"size": 64, "passes": 1, "iters": 4,
+                          "no_multires": True, "depth": 2, "seed": 0},
+               "style_b64": styles, "style_parallel": True}
+    ctype, body = _post(server, payload)
+    assert ctype == "application/json"
+    imgs = json.loads(body)["images_b64"]
+    assert len(imgs) == 2
+    for im in imgs:
+        assert b64mod.b64decode(im)[:8] == b"\x89PNG\r\n\x1a\n"
+    # synthesis-only: content rejected
+    payload["content_b64"] = _b64("/root/reference/content/rocket.jpg")
+    try:
+        _post(server, payload)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_stalled_body_read_times_out():
     """A client that sends headers but stalls mid-body must get a 408 and
     release its body-read semaphore slot instead of blocking other
