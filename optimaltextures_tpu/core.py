@@ -164,7 +164,10 @@ def _traced_ks_jit(svals):
     cumulative singular-value share exceeds 0.9, exclusive, clamped >= 1)
     computed ON DEVICE as traced scalars — the pca_traced_k mode's
     replacement for the host k-decision. With it, a run performs ZERO
-    device->host syncs before the final fetch."""
+    device->host syncs before the final fetch. The cumsum runs in f32
+    (choose_k uses f64 on host), so a spectrum whose cumulative share sits
+    within f32 rounding of the 0.9 threshold can flip k by one — the
+    boundary component carries a negligible share either way."""
     out = []
     for s in svals:
         frac = jnp.cumsum(s) / jnp.sum(s)

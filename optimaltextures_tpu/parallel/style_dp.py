@@ -123,6 +123,16 @@ def _ep_spectra_jit(enc_params, style_stack, *, depth: int, use_pca: bool,
     return out
 
 
+@jax.jit
+def _ep_traced_ks_jit(svals):
+    """Per-style traced ranks (N, C) -> (N,) — the pca_traced_k rule on
+    device (see core._traced_ks_jit; f32 cumsum, so a spectrum sitting
+    within f32 rounding of the 0.9 threshold may flip k by one vs the host
+    rule — the boundary component carries a negligible spectrum share)."""
+    frac = jnp.cumsum(svals, axis=1) / jnp.sum(svals, axis=1, keepdims=True)
+    return jnp.maximum(jnp.argmax(frac > 0.9, axis=1).astype(jnp.int32), 1)
+
+
 @partial(jax.jit, static_argnames=("ks", "need_samples"))
 def _ep_stats_jit(sfs, vs, true_ks, *, ks, need_samples: bool):
     """Per-depth: zero-pad each style's eigvecs to the SHARED static width
@@ -296,7 +306,13 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
             stack = style_stack0
         spectra = _ep_spectra_jit(enc_full, stack, depth=depth,
                                   use_pca=use_pca, need_samples=need_samples)
-        if use_pca:
+        if use_pca and cfg.pca_traced_k:
+            # zero host syncs: full static width, per-style traced ranks
+            widths = [sf.shape[-1] for (sf, _, _) in spectra]
+            masks = [_ep_traced_ks_jit(sv) for (_, sv, _) in spectra]
+            if _force_widths is not None:
+                widths = list(_force_widths)
+        elif use_pca:
             # ONE batched eigenvalue fetch for the whole pass (tunnel RTT)
             flat = np.asarray(jnp.concatenate(
                 [s.reshape(-1) for (_, s, _) in spectra]))
@@ -401,10 +417,7 @@ def synthesize_styles(cfg, styles, mesh: Mesh, verbose: bool = False):
         raise ValueError("style-parallel synthesis needs equal style shapes")
 
     cfg = cfg.validate()
-    # a caller-supplied bank (e.g. a warm serving pool's) skips the weight
-    # re-upload; its dtype must match the requested conv dtype
-    if bank is None:
-        bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
+    bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
     depth = bank.max_depth
     iters_table, _ = schedule.iters_and_sizes(
         cfg.size, cfg.iters, cfg.passes, False,  # uniform schedule (see doc)

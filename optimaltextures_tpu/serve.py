@@ -204,30 +204,26 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
             raise ValueError("batch > 1 with init_b64 produces identical "
                              "images; use batch=1")
 
-    if payload.get("style_parallel"):
+    style_parallel = bool(payload.get("style_parallel"))
+    if style_parallel:
         # one output texture PER style (no mixing) — the EP path
         if content is not None or init is not None:
             raise ValueError("style_parallel is synthesis-only "
                              "(no content_b64/init_b64)")
+        requested = set(payload.get("config", {}))
         bad = [n for n, b in [("tileable", cfg.tileable),
                               ("out_width", cfg.out_width is not None),
                               ("batch", cfg.batch != 1),
                               ("color_transfer",
                                cfg.color_transfer is not None),
-                              ("spatial_devices",
-                               cfg.spatial_devices > 1)] if b]
+                              ("spatial_devices", cfg.spatial_devices > 1),
+                              ("mixing_weights",
+                               "mixing_weights" in requested),
+                              ("mixing_alpha",
+                               "mixing_alpha" in requested)] if b]
         if bad:
             raise ValueError("style_parallel does not support: "
                              + ", ".join(bad))
-        with pool.lock:
-            import contextlib
-
-            import jax
-
-            dev_cm = (jax.default_device(pool.device)
-                      if pool.device is not None else contextlib.nullcontext())
-            with dev_cm:
-                return _run_style_parallel_locked(pool, cfg, styles)
 
     # stable (process-independent) style identity: used for the in-memory
     # prep cache AND as the on-disk style-pack filename
@@ -245,6 +241,8 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
         dev_cm = (jax.default_device(pool.device) if pool.device is not None
                   else contextlib.nullcontext())
         with dev_cm:
+            if style_parallel:
+                return _run_style_parallel_locked(pool, cfg, styles)
             return _run_locked(pool, cfg, styles, content, init, token)
 
 

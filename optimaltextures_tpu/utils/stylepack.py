@@ -25,8 +25,8 @@ import numpy as np
 def _signature(synth) -> List:
     cfg = synth.cfg
     return [synth.depth, cfg.hist_mode, cfg.no_pca, cfg.pca_bucket,
-            cfg.style_scale, cfg.size, cfg.passes, cfg.no_multires,
-            cfg.compat_schedule_quirk]
+            cfg.pca_traced_k, cfg.style_scale, cfg.size, cfg.passes,
+            cfg.no_multires, cfg.compat_schedule_quirk]
 
 
 def export_style_pack(synth, styles_token, path: str) -> str:

@@ -315,6 +315,35 @@ def test_style_parallel_batch_pca_multires_equals_single(rng):
     np.testing.assert_allclose(out8, ref, rtol=2e-3, atol=2e-3)
 
 
+def test_style_parallel_traced_k_equals_forced_full_width(rng):
+    """pca_traced_k in the EP path (per-style ranks computed on device, no
+    eigenvalue fetch) equals the host-k bucket path pinned to the same full
+    program widths — same masks, same rotation streams."""
+    import dataclasses
+
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.parallel.style_dp import synthesize_style_batch
+    from optimaltextures_tpu.utils import imageio
+
+    a = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                           oversize=False)
+    b = imageio.load_image("/root/reference/style/lava-small.jpg", 64,
+                           oversize=False)
+    h = min(a.shape[1], b.shape[1]); w = min(a.shape[2], b.shape[2])
+    styles = [a[:, :h, :w], b[:, :h, :w]]
+    noise = np.asarray(rng.random((2, 64, 64, 3)), dtype=np.float32)
+    base = OptexConfig(size=64, passes=1, iters=6, no_multires=True, depth=2,
+                       seed=41, pca_traced_k=True,
+                       style=["/root/reference/style/graffiti.jpg"] * 2)
+
+    traced = np.asarray(synthesize_style_batch(base, styles, None,
+                                               pastiche=noise))
+    hostk = np.asarray(synthesize_style_batch(
+        dataclasses.replace(base, pca_traced_k=False, pca_bucket=16),
+        styles, None, pastiche=noise, _force_widths=(128, 64)))
+    np.testing.assert_allclose(traced, hostk, rtol=2e-3, atol=2e-3)
+
+
 def test_style_parallel_batch_cdf_mode(rng):
     """The lifted path also serves cdf mode (per-style sample clouds ride
     the shard) — shapes and finiteness, plus per-style stat tracking."""
