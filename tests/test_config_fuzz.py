@@ -45,7 +45,12 @@ def _sample_cfg(rng):
         tileable=bool(rng.random() < 0.25),
         content_anchor=str(rng.choice(["index", "depth"])),
         compat_schedule_quirk=bool(rng.random() < 0.8),
+        cov_propagation=bool(rng.random() < 0.8),
     )
+    if rng.random() < 0.2:
+        # r3: on-device rank decision (invalid with no_pca/pca_bucket — the
+        # sweep asserts those reject cleanly)
+        kw["pca_traced_k"] = True
     if n_styles > 1 and rng.random() < 0.5:
         kw["mixing_weights"] = [float(w) for w in
                                 rng.uniform(0.1, 1.0, n_styles)]
