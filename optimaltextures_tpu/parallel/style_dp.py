@@ -202,6 +202,21 @@ def _ep_pass_body(depths, iters, mode, pca_flags, cov_prop, use_pallas,
     return pastiche.astype(jnp.float32)
 
 
+_ep_resize_jit = None  # bound lazily below (module import order)
+
+
+def _get_ep_resize():
+    global _ep_resize_jit
+    if _ep_resize_jit is None:
+        from ..ops.resize import resize_nhwc
+
+        _ep_resize_jit = jax.jit(resize_nhwc, static_argnums=(1,))
+    return _ep_resize_jit
+
+
+_EP_PASS_CACHE = {}
+
+
 def make_style_parallel_pass(mesh: Mesh, *, depths, iters, mode: str,
                              pca_flags, axis: str = "data",
                              cov_prop=None, use_pallas=None):
@@ -209,19 +224,31 @@ def make_style_parallel_pass(mesh: Mesh, *, depths, iters, mode: str,
     style_i) pair per device (see :func:`_ep_pass_body`). Collective-free
     (per-style statistics are local by construction). ``mesh=None`` returns
     a jitted single-device variant of the same body (the reference mode —
-    used for 1-chip serving and the equality tests)."""
+    used for 1-chip serving and the equality tests).
+
+    Builders are cached module-level (jax.Mesh hashes by value, so a
+    recreated identical mesh hits): without this, every serving request
+    re-traced its pass programs (~1.3 s/request host time on the 1-core
+    VM — measured in the r3 on-chip smoke)."""
+    key = (mesh, depths, iters, mode, pca_flags, axis, cov_prop, use_pallas)
+    if key in _EP_PASS_CACHE:
+        return _EP_PASS_CACHE[key]
     body = partial(_ep_pass_body, depths, iters, mode, pca_flags, cov_prop,
                    use_pallas)
     if mesh is None:
-        return jax.jit(body, donate_argnums=(2,))
-
-    shard = P(axis)
-    rep = P()
-    fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(rep, rep, shard, shard, shard, shard, shard, shard, rep),
-        out_specs=shard)
-    return jax.jit(fn, donate_argnums=(2,))
+        fn = jax.jit(body, donate_argnums=(2,))
+    else:
+        shard = P(axis)
+        rep = P()
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(rep, rep, shard, shard, shard, shard, shard, shard,
+                      rep),
+            out_specs=shard), donate_argnums=(2,))
+    while len(_EP_PASS_CACHE) > 64:
+        _EP_PASS_CACHE.pop(next(iter(_EP_PASS_CACHE)))
+    _EP_PASS_CACHE[key] = fn
+    return fn
 
 
 def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
@@ -245,7 +272,6 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
     Returns (N, H, W, 3).
     """
     from ..models.vgg import VGGBank
-    from ..ops.resize import resize_nhwc
     from ..utils import schedule
     from .mesh import batch_sharding
 
@@ -287,8 +313,6 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
     if mesh is not None:
         pastiche = jax.device_put(pastiche, batch_sharding(mesh))
 
-    resize_jit = jax.jit(resize_nhwc, static_argnums=(1,))
-
     # per distinct pass size: one spectra program + one k-decision + one
     # stats program (the gate means a no_multires run preps once)
     preps = {}
@@ -301,7 +325,7 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
         if do_resize:
             h0, w0 = style_stack0.shape[1:3]
             tgt = schedule.get_size(size, cfg.style_scale, h0, w0)
-            stack = resize_jit(style_stack0, tgt)
+            stack = _get_ep_resize()(style_stack0, tgt)
         else:
             stack = style_stack0
         spectra = _ep_spectra_jit(enc_full, stack, depth=depth,
@@ -348,7 +372,7 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
         size = sizes[p]
         do_resize = cur_hw[0] != size and cur_hw[1] != size
         if do_resize:
-            pastiche = resize_jit(pastiche, (size, size))
+            pastiche = _get_ep_resize()(pastiche, (size, size))
             if bsh is not None:
                 pastiche = jax.device_put(pastiche, bsh)
             cur_hw = (size, size)
