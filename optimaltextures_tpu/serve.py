@@ -297,11 +297,16 @@ def _encode_batch(batch):
 
 
 def _run_style_parallel_locked(pool, cfg, styles):
-    """Style-parallel request (one output per style): reuses the pooled
+    """Style-parallel request (one output per style): reuses a pooled
     Synthesizer's warm VGGBank (no per-request weight upload), one style
     per chip when num_devices > 1, the single-device per-style path
-    otherwise. Always returns every image (JSON for 2+ styles)."""
-    synth = pool.get(cfg)
+    otherwise. Always returns every image (JSON for 2+ styles).
+
+    The bank comes from a SINGLE-DEVICE pool entry: num_devices here means
+    "styles across chips" (the EP mesh is built below), not batch-DP — and
+    Synthesizer.__init__ would reject batch=1 with num_devices > 1."""
+    synth = pool.get(dataclasses.replace(cfg, num_devices=1,
+                                         spatial_devices=1))
     from .parallel.style_dp import synthesize_style_batch
 
     mesh = None

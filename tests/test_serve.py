@@ -453,6 +453,21 @@ def test_style_parallel_request(server):
         assert e.code == 400
 
 
+def test_style_parallel_request_multichip(server):
+    """style_parallel with num_devices=2: one style per device over the
+    virtual mesh — must NOT trip Synthesizer's batch%num_devices guard
+    (the bank comes from a single-device pool entry)."""
+    styles = [_b64("/root/reference/style/graffiti.jpg"),
+              _b64("/root/reference/style/graffiti.jpg")]
+    payload = {"config": {"size": 64, "passes": 1, "iters": 4,
+                          "no_multires": True, "depth": 2, "seed": 1,
+                          "num_devices": 2},
+               "style_b64": styles, "style_parallel": True}
+    ctype, body = _post(server, payload)
+    assert ctype == "application/json"
+    assert len(json.loads(body)["images_b64"]) == 2
+
+
 def test_stalled_body_read_times_out():
     """A client that sends headers but stalls mid-body must get a 408 and
     release its body-read semaphore slot instead of blocking other
