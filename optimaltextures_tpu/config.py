@@ -78,8 +78,10 @@ class OptexConfig:
     num_devices: int = 1
     # Number of devices to shard ONE image's height axis over (halo-exchange
     # convs + sequence-parallel OT; content matching shards with the image).
-    # All five hist modes compose (sort runs the exact distributed sort);
-    # mutually exclusive with num_devices > 1.
+    # All five hist modes compose (sort runs the exact distributed sort).
+    # Combined with num_devices > 1 this builds the 2-D batch x height grid
+    # (r3): batch over "data", H over "space", joint statistics psum'd over
+    # both axes (synthesis only; sort unsupported on the grid).
     spatial_devices: int = 1
     # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
     use_pallas: bool = True
@@ -157,9 +159,22 @@ class OptexConfig:
                 f"content_anchor must be index|depth, got {self.content_anchor!r}")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
-                raise ValueError("num_devices and spatial_devices are mutually "
-                                 "exclusive")
-            if self.batch != 1:
-                raise ValueError("spatial sharding runs a single image "
-                                 "(batch must be 1)")
+                # 2-D grid (r3): batch over "data" x height over "space"
+                if self.hist_mode == "sort":
+                    raise ValueError(
+                        "sort on the 2-D (batch x height) grid is "
+                        "unsupported — use a 1-D mesh for the exact "
+                        "distributed sort, or cdf on the grid")
+                if self.batch % self.num_devices:
+                    raise ValueError(
+                        f"batch {self.batch} not divisible by num_devices "
+                        f"{self.num_devices} (2-D grid)")
+                if self.content is not None:
+                    raise ValueError("the 2-D grid is synthesis-only "
+                                     "(content runs are single-image; use "
+                                     "spatial_devices alone)")
+            elif self.batch != 1:
+                raise ValueError("spatial sharding alone runs a single "
+                                 "image (batch must be 1); combine with "
+                                 "num_devices > 1 for a batched 2-D grid")
         return self

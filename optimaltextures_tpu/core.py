@@ -388,11 +388,24 @@ class Synthesizer:
 
         self._style_prep_cache = OrderedDict()
 
-        # multi-chip batch data parallelism (synthesis only; content runs
-        # single-chip since the reference ignores --batch with content)
+        # multi-chip parallelism. Three layouts (validate() gates combos):
+        # 1-D batch DP ("data"), 1-D spatial SP ("space"), or the 2-D
+        # batch x height grid (r3) — all synthesis-only except SP (content
+        # runs are single-image; the reference ignores --batch with content)
         self.mesh = None
+        self.grid_mesh = None
         self._dp_stages = {}
-        if cfg.num_devices > 1:
+        self._grid_stages = {}
+        if cfg.num_devices > 1 and cfg.spatial_devices > 1:
+            from .parallel.grid import make_grid_mesh
+            from .parallel.spatial import check_spatial_divisibility
+
+            for size in self.sizes:
+                check_spatial_divisibility(size, cfg.spatial_devices,
+                                           self.depth)
+            self.grid_mesh = make_grid_mesh(cfg.num_devices,
+                                            cfg.spatial_devices)
+        elif cfg.num_devices > 1:
             from .parallel.mesh import make_mesh
 
             if cfg.batch % cfg.num_devices != 0:
@@ -401,10 +414,11 @@ class Synthesizer:
                     f"{cfg.num_devices}")
             self.mesh = make_mesh(cfg.num_devices)
 
-        # spatial (H-axis) sharding of one image across chips
+        # spatial (H-axis) sharding of one image across chips (1-D; the
+        # batch x height combination builds grid_mesh above instead)
         self.space_mesh = None
         self._sp_stages = {}
-        if cfg.spatial_devices > 1:
+        if cfg.spatial_devices > 1 and self.grid_mesh is None:
             from .parallel.mesh import make_mesh
             from .parallel.spatial import check_spatial_divisibility
 
@@ -450,6 +464,24 @@ class Synthesizer:
 
         return jax.device_put(
             pastiche, NamedSharding(self.space_mesh, P(None, "space", None, None)))
+
+    def _grid_pass(self, iters, strengths, pca_flags):
+        from .parallel.grid import make_grid_pass
+
+        key = (iters, strengths, pca_flags)
+        if key not in self._grid_stages:
+            self._grid_stages[key] = make_grid_pass(
+                self.grid_mesh, depths=tuple(self.layer_depths), iters=iters,
+                mode=self.cfg.hist_mode, strengths=strengths,
+                pca_flags=pca_flags,
+                pad_mode="wrap" if self.cfg.tileable else "reflect",
+                cov_prop=self.cfg.cov_propagation)
+        return self._grid_stages[key]
+
+    def _grid_shard(self, pastiche):
+        from .parallel.grid import grid_sharding
+
+        return jax.device_put(pastiche, grid_sharding(self.grid_mesh))
 
     def reseed(self, seed: Optional[int]) -> None:
         """(Re-)key this instance for ``seed``. Warm pools that exclude seed
@@ -675,7 +707,7 @@ class Synthesizer:
         plan = self._plan_passes(
             pastiche.shape[1:3],
             content.shape[1:3] if content is not None else None)
-        if self.space_mesh is not None:
+        if self.space_mesh is not None or self.grid_mesh is not None:
             # the pastiche's actual H chain can diverge from cfg.size with a
             # content image (get_size caps at the loaded dims); every pass's H
             # must still split evenly across the mesh at all conv depths
@@ -819,7 +851,8 @@ class Synthesizer:
         dec_all = tuple(self.bank.dec_params[d] for d in self.layer_depths)
         depths = tuple(self.layer_depths)
         pad_mode = "wrap" if cfg.tileable else "reflect"
-        if self.mesh is None and self.space_mesh is None and not timing:
+        if (self.mesh is None and self.space_mesh is None
+                and self.grid_mesh is None and not timing):
             plans = tuple(((cs if rs else None), iters)
                           for (_, _, iters, rs, cs, _) in per_pass)
             final_hw = tuple(pastiche.shape[1:3])
@@ -842,7 +875,8 @@ class Synthesizer:
         else:
             for (adj, strengths, iters, do_resize, cont_size,
                  pass_key) in per_pass:
-                if ((self.mesh is not None and content is None)
+                if (((self.mesh is not None or self.grid_mesh is not None)
+                        and content is None)
                         or self.space_mesh is not None):
                     # DP path (synthesis only — the reference ignores
                     # --batch with content, optex.py:263): batch sharded,
@@ -855,7 +889,10 @@ class Synthesizer:
                         pastiche = _resize_jit(pastiche, size=cont_size,
                                                circular=cfg.tileable)
                     pca_flags = tuple(t.eigvecs is not None for t in adj)
-                    if self.mesh is not None:
+                    if self.grid_mesh is not None:
+                        stage = self._grid_pass(iters, strengths, pca_flags)
+                        pastiche = self._grid_shard(pastiche)
+                    elif self.mesh is not None:
                         stage = self._dp_pass(iters, strengths, pca_flags)
                         pastiche = self._dp_shard(pastiche)
                     else:

@@ -148,8 +148,9 @@ def test_sp_e2e_matches_single_device(rng):
 def test_sp_config_validation():
     from optimaltextures_tpu.config import OptexConfig
 
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        OptexConfig(num_devices=2, spatial_devices=2, batch=2).validate()
+    # r3: num_devices x spatial_devices composes (the 2-D grid); SP alone
+    # still requires batch 1
+    OptexConfig(num_devices=2, spatial_devices=2, batch=2).validate()
     with pytest.raises(ValueError, match="batch"):
         OptexConfig(spatial_devices=2, batch=4).validate()
     OptexConfig(spatial_devices=2, hist_mode="cdf").validate()
@@ -192,6 +193,59 @@ def test_sp_e2e_sort_mode(rng):
     out8, _ = core.synthesize(OptexConfig(**base, spatial_devices=8), [style])
     np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_grid_2d_e2e_matches_single_device(rng):
+    """The 2-D batch x height grid (num_devices x spatial_devices, r3)
+    equals the single-device run: per-image means reduce over the space
+    shards, the pooled covariance over the whole grid — the exact joint
+    batch statistics."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=5, no_multires=True, depth=2,
+                seed=91, style=["/root/reference/style/graffiti.jpg"],
+                batch=4)
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(
+        OptexConfig(**base, num_devices=2, spatial_devices=4), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_grid_2d_e2e_cdf_mode(rng):
+    """cdf on the grid: range + histograms reduce over BOTH axes."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=3, no_multires=True, depth=2,
+                seed=92, style=["/root/reference/style/graffiti.jpg"],
+                batch=2, hist_mode="cdf")
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(
+        OptexConfig(**base, num_devices=2, spatial_devices=4), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_grid_2d_validation():
+    from optimaltextures_tpu.config import OptexConfig
+
+    with pytest.raises(ValueError, match="sort on the 2-D"):
+        OptexConfig(num_devices=2, spatial_devices=2, batch=2,
+                    hist_mode="sort").validate()
+    with pytest.raises(ValueError, match="not divisible"):
+        OptexConfig(num_devices=2, spatial_devices=2, batch=3).validate()
+    with pytest.raises(ValueError, match="synthesis-only"):
+        OptexConfig(num_devices=2, spatial_devices=2, batch=2,
+                    content="c.jpg").validate()
+    OptexConfig(num_devices=2, spatial_devices=2, batch=2).validate()
 
 
 def test_cov_propagation_config_field(rng):
