@@ -55,7 +55,8 @@ def run_style_parallel(cfg: OptexConfig, verbose: bool = False
     written paths — one PNG per style, named per style)."""
     import time
 
-    cfg = cfg.validate()
+    # reject unsupported combos BEFORE validate(): the grid validation's
+    # batch-divisibility message would pre-empt these clearer errors
     if cfg.content is not None:
         raise ValueError("style_parallel is synthesis-only (no content)")
     unsupported = [name for name, bad in [
@@ -66,6 +67,7 @@ def run_style_parallel(cfg: OptexConfig, verbose: bool = False
     if unsupported:
         raise ValueError("style_parallel does not support: "
                          + ", ".join(unsupported))
+    cfg = cfg.validate()
     styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
     if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("style_parallel needs equal style shapes")

@@ -396,13 +396,15 @@ class Synthesizer:
         self.grid_mesh = None
         self._dp_stages = {}
         self._grid_stages = {}
-        if cfg.num_devices > 1 and cfg.spatial_devices > 1:
-            from .parallel.grid import make_grid_mesh
+        if cfg.spatial_devices > 1:
             from .parallel.spatial import check_spatial_divisibility
 
             for size in self.sizes:
                 check_spatial_divisibility(size, cfg.spatial_devices,
                                            self.depth)
+        if cfg.num_devices > 1 and cfg.spatial_devices > 1:
+            from .parallel.grid import make_grid_mesh
+
             self.grid_mesh = make_grid_mesh(cfg.num_devices,
                                             cfg.spatial_devices)
         elif cfg.num_devices > 1:
@@ -420,10 +422,7 @@ class Synthesizer:
         self._sp_stages = {}
         if cfg.spatial_devices > 1 and self.grid_mesh is None:
             from .parallel.mesh import make_mesh
-            from .parallel.spatial import check_spatial_divisibility
 
-            for size in self.sizes:
-                check_spatial_divisibility(size, cfg.spatial_devices, self.depth)
             self.space_mesh = make_mesh(cfg.spatial_devices, axis="space")
 
     def _dp_pass(self, iters, strengths, pca_flags):

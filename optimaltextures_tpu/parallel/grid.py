@@ -33,9 +33,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import numpy as np
 
-from ..models.vgg import decode, encode  # noqa: F401  (parity of imports)
-from ..ops import histmatch
-from ..ops.rotation import stage_rotations, stage_rotations_masked
 from .spatial import decode_spatial, encode_spatial
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -54,93 +51,23 @@ def grid_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "space", None, None))
 
 
-def _grid_moments(x: jnp.ndarray, baxis: str, saxis: str):
-    """Per-(image, channel) means reduce over the space shards only; the
-    pooled Gram reduces over the whole grid — exactly the single-device
-    batch statistics (histmatch.moment_stats)."""
-    c = x.shape[-1]
-    ns = jax.lax.psum(1, saxis)
-    mean = jax.lax.psum(jnp.sum(x, axis=(1, 2), keepdims=True), saxis) / (
-        x.shape[1] * x.shape[2] * ns)
-    xc = (x - mean).reshape(-1, c)
-    gram = jax.lax.psum(jnp.matmul(xc.T, xc, precision=HIGHEST),
-                        (baxis, saxis))
-    n_total = xc.shape[0] * jax.lax.psum(1, (baxis, saxis))
-    return mean, xc, gram / n_total
-
-
 def grid_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
                         mode: str, baxis: str, saxis: str,
                         style_samples=None, content_feature=None,
                         content_strength: float = 0.0, k_mask=None,
                         cov_prop=None):
-    """The OT loop on a (batch, H)-grid-sharded feature map."""
-    if n_iters == 0:
-        return feature
+    """The OT loop on a (batch, H)-grid-sharded feature map — the 2-D
+    layout of :func:`shard_ot.sharded_transport_loop_axes`: per-image means
+    reduce over the space ring only, the pooled covariance (and cdf
+    ranges/histograms) over the whole grid; sort is rejected (its
+    gather-order argument is per-axis — use a 1-D mesh for sort)."""
+    from .shard_ot import sharded_transport_loop_axes
 
-    c = feature.shape[-1]
-    if k_mask is not None:
-        rotations = stage_rotations_masked(key, n_iters, c, k_mask)
-    else:
-        rotations = stage_rotations(key, n_iters, c)
-
-    from .. import transport
-
-    moment_mode = mode not in ("cdf", "sort")
-    if moment_mode:
-        cov_s_rots = histmatch.style_congruence_batch(rotations,
-                                                      style_cov_raw)
-        sfactors = histmatch.style_factor_batch(cov_s_rots, mode, 1.0)
-
-    use_prop = ((cov_prop if cov_prop is not None else True)
-                and transport.cov_propagation_enabled())
-    if moment_mode and content_feature is None and use_prop:
-        # one grid-wide reduction, then collective-free propagation
-        mu0, _, cov0 = _grid_moments(feature, baxis, saxis)
-        # mu0 varies along the batch axis (per-image means); the carry's
-        # varying-axes type must stay stable, so derive mu_s from it
-        mu_s = mu0 * 0.0 + style_mu
-
-        def body_prop(i, carry):
-            feat, mu, cov = carry
-            rot = rotations[i]
-            cov_t_rot = rot.T @ (cov @ rot)
-            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
-                                               1.0)
-            m = rot @ (a.T @ rot.T)
-            b, h, w, _ = feat.shape
-            xc = (feat - mu).reshape(-1, c)
-            feat = jnp.matmul(xc, m,
-                              precision=HIGHEST).reshape(b, h, w, c) + mu_s
-            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
-                             precision=HIGHEST)
-            return feat, mu_s, cov
-
-        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
-                                       (feature, mu0, cov0))
-        return feat
-
-    def body(i, feat):
-        rot = rotations[i]
-        if mode == "cdf":
-            from .shard_ot import _cdf_step_sharded
-
-            feat = _cdf_step_sharded(rot, feat, style_samples,
-                                     (baxis, saxis))
-        else:
-            mu_t, xc, cov_t_raw = _grid_moments(feat, baxis, saxis)
-            cov_t_rot = rot.T @ (cov_t_raw @ rot)
-            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
-                                               1.0)
-            m = rot @ (a.T @ rot.T)
-            b, h, w, _ = feat.shape
-            feat = jnp.matmul(xc, m,
-                              precision=HIGHEST).reshape(b, h, w, c) + style_mu
-        if content_feature is not None:
-            feat = feat + content_strength * (content_feature - feat)
-        return feat
-
-    return jax.lax.fori_loop(0, n_iters, body, feature)
+    return sharded_transport_loop_axes(
+        key, feature, style_mu, style_cov_raw, n_iters, mode,
+        mean_axes=(saxis,), gram_axes=(baxis, saxis), sort_axis=None,
+        style_samples=style_samples, content_feature=content_feature,
+        content_strength=content_strength, k_mask=k_mask, cov_prop=cov_prop)
 
 
 def make_grid_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,

@@ -135,15 +135,31 @@ def _sort_step_sharded(rot, feature, style_samples, axis: str):
     return out.reshape(b, h, w, c)
 
 
-def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
-                           mode: str, axis: str,
-                           style_samples: Optional[jnp.ndarray] = None,
-                           content_feature: Optional[jnp.ndarray] = None,
-                           content_strength: float = 0.0,
-                           k_mask: Optional[jnp.ndarray] = None,
-                           cov_prop: Optional[bool] = None):
+def sharded_transport_loop_axes(key, feature, style_mu, style_cov_raw,
+                                n_iters: int, mode: str, *,
+                                mean_axes, gram_axes, sort_axis=None,
+                                style_samples=None, content_feature=None,
+                                content_strength: float = 0.0,
+                                k_mask=None, cov_prop=None):
+    """THE sharded OT loop, one implementation for every mesh layout
+    (batch-DP, spatial SP, and the 2-D batch x height grid are thin
+    wrappers — they previously carried three hand-synced copies of this
+    body, review r3):
+
+    * ``mean_axes``: mesh axes the per-(image, channel) means reduce over
+      (empty = batch-DP semantics: means stay local to each image shard);
+    * ``gram_axes``: axes the pooled covariance Gram — and cdf mode's
+      range/histograms — psum over (the joint-statistics axes);
+    * ``sort_axis``: the single axis the exact distributed sort gathers
+      over; None rejects sort on this layout with a clear error.
+    """
     if n_iters == 0:
         return feature
+    if mode == "sort" and sort_axis is None:
+        raise ValueError(
+            "sort is unsupported on this mesh layout (the exact distributed "
+            "sort gathers over exactly one axis) — use a 1-D mesh for sort, "
+            "or cdf here")
 
     c = feature.shape[-1]
     # same batched polar rotation stream as the single-device loop (identical
@@ -163,6 +179,19 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
         cov_s_rots = histmatch.style_congruence_batch(rotations, style_cov_raw)
         sfactors = histmatch.style_factor_batch(cov_s_rots, mode, 1.0)
 
+    def moments(x):
+        if mean_axes:
+            ns = jax.lax.psum(1, mean_axes)
+            mean = jax.lax.psum(jnp.sum(x, axis=(1, 2), keepdims=True),
+                                mean_axes) / (x.shape[1] * x.shape[2] * ns)
+        else:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        xc = (x - mean).reshape(-1, c)
+        gram = jax.lax.psum(jnp.matmul(xc.T, xc, precision=HIGHEST),
+                            gram_axes)
+        n_total = xc.shape[0] * jax.lax.psum(1, gram_axes)
+        return mean, xc, gram / n_total
+
     use_prop = ((cov_prop if cov_prop is not None else True)
                 and transport.cov_propagation_enabled())
     if moment_mode and content_feature is None and use_prop:
@@ -170,10 +199,9 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
         # joint covariance is psum'd ONCE, then propagated as M^T cov M —
         # every iteration after that is collective-free (the per-iteration
         # psum of the sample Gram disappears)
-        mu0, _, gram, n_local = _local_moments(feature)
-        cov0 = jax.lax.psum(gram, axis) / (n_local * jax.lax.psum(1, axis))
-        # mu0 is shard-varying (per-image local means); the carry's type must
-        # stay varying across iterations, so derive mu_s from it
+        mu0, _, cov0 = moments(feature)
+        # mu0 can be shard-varying (per-image local means); the carry's type
+        # must stay varying across iterations, so derive mu_s from it
         mu_s = mu0 * 0.0 + style_mu
 
         def body_prop(i, carry):
@@ -197,17 +225,39 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
     def body(i, feat):
         rot = rotations[i]
         if mode == "cdf":
-            feat = _cdf_step_sharded(rot, feat, style_samples, axis)
+            feat = _cdf_step_sharded(rot, feat, style_samples, gram_axes)
         elif mode == "sort":
-            feat = _sort_step_sharded(rot, feat, style_samples, axis)
+            feat = _sort_step_sharded(rot, feat, style_samples, sort_axis)
         else:
-            feat = _moment_step_sharded(rot, feat, style_mu, style_cov_raw,
-                                        mode, axis, sfactor=sfactors[i])
+            mu_t, xc, cov_t_raw = moments(feat)
+            cov_t_rot = rot.T @ (cov_t_raw @ rot)
+            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
+                                               1.0)
+            m = rot @ (a.T @ rot.T)
+            b, h, w, _ = feat.shape
+            feat = jnp.matmul(xc, m,
+                              precision=HIGHEST).reshape(b, h, w, c) + style_mu
         if content_feature is not None:
             feat = feat + content_strength * (content_feature - feat)
         return feat
 
     return jax.lax.fori_loop(0, n_iters, body, feature)
+
+
+def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
+                           mode: str, axis: str,
+                           style_samples: Optional[jnp.ndarray] = None,
+                           content_feature: Optional[jnp.ndarray] = None,
+                           content_strength: float = 0.0,
+                           k_mask: Optional[jnp.ndarray] = None,
+                           cov_prop: Optional[bool] = None):
+    """Batch-DP layout: means local to each image shard, Gram psum'd over
+    the batch axis (joint covariance), sort gathers over the batch axis."""
+    return sharded_transport_loop_axes(
+        key, feature, style_mu, style_cov_raw, n_iters, mode,
+        mean_axes=(), gram_axes=(axis,), sort_axis=axis,
+        style_samples=style_samples, content_feature=content_feature,
+        content_strength=content_strength, k_mask=k_mask, cov_prop=cov_prop)
 
 
 def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models import arch
 from ..ops.convops import conv2d_nhwc, maxpool_2x2_ceil, upsample_nearest_2x
 from ..ops import histmatch
-from ..ops.rotation import random_rotation, stage_rotations
+from ..ops.rotation import random_rotation
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -135,81 +135,19 @@ def spatial_transport_loop(key, feature, style_mu, style_cov_raw,
                            style_samples=None, content_feature=None,
                            content_strength: float = 0.0, k_mask=None,
                            cov_prop=None):
-    """The OT loop on an H-sharded feature map.
+    """The OT loop on an H-sharded feature map — the sequence-parallel
+    layout of :func:`shard_ot.sharded_transport_loop_axes`: means AND the
+    pooled covariance reduce over the space axis (fully global moments);
+    cdf ranges/histograms psum over it; sort runs the exact distributed
+    sort along it. The content pull is elementwise, so an H-sharded content
+    feature map applies shard-locally."""
+    from .shard_ot import sharded_transport_loop_axes
 
-    Moment modes reduce means AND covariances globally (sequence-parallel
-    moments); cdf mode reuses the sharded-histogram step from
-    :mod:`shard_ot` (pmin/pmax range + psum'd 256-bin target histogram —
-    axis-generic, exact global CDF); ``sort`` runs the exact distributed
-    sort (all-gathered sample axis, shard_ot._sort_step_sharded — the r2
-    rejection is lifted). The content pull is elementwise, so an H-sharded
-    content feature map applies shard-locally.
-    """
-    if n_iters == 0:
-        return feature
-
-    c = feature.shape[-1]
-    if k_mask is not None:
-        from ..ops.rotation import stage_rotations_masked
-
-        rotations = stage_rotations_masked(key, n_iters, c, k_mask)
-    else:
-        rotations = stage_rotations(key, n_iters, c)
-
-    from .. import transport
-
-    moment_mode = mode not in ("cdf", "sort")
-    if moment_mode:
-        # carry-independent style side batched out of the loop (replicated
-        # inputs — no collectives added); see transport.transport_loop
-        cov_s_rots = histmatch.style_congruence_batch(rotations, style_cov_raw)
-        sfactors = histmatch.style_factor_batch(cov_s_rots, mode, 1.0)
-
-    use_prop = ((cov_prop if cov_prop is not None else True)
-                and transport.cov_propagation_enabled())
-    if moment_mode and content_feature is None and use_prop:
-        # covariance-propagated loop (see transport.transport_loop): global
-        # moments psum ONCE, then propagate cov = M^T cov M — the sequence-
-        # parallel loop runs collective-free after the first reduction
-        mu0, _, cov0 = _global_moments(feature, axis)
-        mu_s = jnp.broadcast_to(style_mu, mu0.shape)
-
-        def body_prop(i, carry):
-            feat, mu, cov = carry
-            rot = rotations[i]
-            cov_t_rot = rot.T @ (cov @ rot)
-            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
-                                               1.0)
-            m = rot @ (a.T @ rot.T)
-            b, h, w, _ = feat.shape
-            xc = (feat - mu).reshape(-1, c)
-            feat = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c) + mu_s
-            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
-                             precision=HIGHEST)
-            return feat, mu_s, cov
-
-        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
-                                       (feature, mu0, cov0))
-        return feat
-
-    def body(i, feat):
-        rot = rotations[i]
-        if mode == "cdf":
-            from .shard_ot import _cdf_step_sharded
-
-            feat = _cdf_step_sharded(rot, feat, style_samples, axis)
-        elif mode == "sort":
-            from .shard_ot import _sort_step_sharded
-
-            feat = _sort_step_sharded(rot, feat, style_samples, axis)
-        else:
-            feat = _moment_step_spatial(rot, feat, style_mu, style_cov_raw,
-                                        mode, axis, sfactor=sfactors[i])
-        if content_feature is not None:
-            feat = feat + content_strength * (content_feature - feat)
-        return feat
-
-    return jax.lax.fori_loop(0, n_iters, body, feature)
+    return sharded_transport_loop_axes(
+        key, feature, style_mu, style_cov_raw, n_iters, mode,
+        mean_axes=(axis,), gram_axes=(axis,), sort_axis=axis,
+        style_samples=style_samples, content_feature=content_feature,
+        content_strength=content_strength, k_mask=k_mask, cov_prop=cov_prop)
 
 
 def make_spatial_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
