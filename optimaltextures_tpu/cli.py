@@ -102,7 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthesize ONE texture per --style image instead "
                         "of mixing (one style per chip when --num_devices "
                         "matches the style count; extension beyond the "
-                        "reference)")
+                        "reference). With PCA, --pca_bucket 0 (exact-k) is "
+                        "forced to 32 — per-style ranks are ragged; the "
+                        "bucketed math is still exact per style")
     p.add_argument("--no_cov_prop", action="store_true",
                    help="disable covariance-propagated OT loops (recompute "
                         "statistics from data every iteration; A/B tool)")

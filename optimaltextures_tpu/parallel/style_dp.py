@@ -290,7 +290,19 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
         bank = VGGBank(cfg.depth, dtype=jnp.dtype(cfg.conv_dtype))
     depth = bank.max_depth
     use_pca = not cfg.no_pca
+    # pca_bucket=0 (exact-k) cannot be honored here: per-style ranks are
+    # ragged, and bucketing is what makes them shape-stable across the
+    # style axis. The substitution is exact math (zero-padded bases +
+    # blockdiag(SO(k_i), I) rotations) but callers should know their
+    # default changed (ADVICE r3) — say so once.
     bucket = cfg.pca_bucket or 32
+    if use_pca and not cfg.pca_bucket and not cfg.pca_traced_k:
+        import warnings
+
+        warnings.warn(
+            "style_parallel forces pca_bucket=32 (exact-k / pca_bucket=0 "
+            "is unavailable on the style axis; math is unchanged — padded "
+            "bases + true-rank masked rotations)", stacklevel=2)
     need_samples = cfg.hist_mode in ("cdf", "sort")
     iters_table, sizes = schedule.iters_and_sizes(
         cfg.size, cfg.iters, cfg.passes, not cfg.no_multires,

@@ -42,12 +42,19 @@ import numpy as np
 
 from .config import OptexConfig
 
+# Every OptexConfig field is exposable over HTTP except the I/O paths
+# (styles/content/init arrive as base64; output goes back in the response).
+# tests/test_serve.py asserts this set stays equal to the dataclass fields
+# minus _IO_FIELDS, so a new config field cannot silently become
+# un-settable over HTTP (VERDICT r3 weak #5).
+_IO_FIELDS = {"style", "content", "init", "output_dir"}
 _CONFIG_FIELDS = {
     "size", "passes", "iters", "hist_mode", "color_transfer",
     "content_strength", "style_scale", "mixing_alpha", "mixing_weights",
     "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
     "spatial_devices", "pca_bucket", "pca_traced_k", "use_pallas",
+    "cov_propagation",
     "compat_schedule_quirk", "content_anchor", "tileable", "out_width",
 }
 
@@ -103,14 +110,20 @@ class SynthesizerPool:
         return len(self._cache)
 
 
-def _decode_image(b64: str, size: int, oversize: bool) -> np.ndarray:
+def _decode_image(b64: str, size: int, oversize: bool,
+                  scale: float = 1.0) -> np.ndarray:
+    """base64 -> (1, H, W, 3) float32, matching utils.imageio.load_image's
+    get_size semantics. ``scale`` must carry cfg.style_scale for STYLES: the
+    reference (util.py:13-17 + optex.py:48) applies style_scale at BOTH load
+    and per-pass resize, and the CLI path does too — serving used to apply
+    only the per-pass half (VERDICT r3 weak #4)."""
     from PIL import Image
 
     from .utils import schedule
 
     img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
     w0, h0 = img.size
-    tw, th = schedule.get_size(size, 1.0, w0, h0, oversize)
+    tw, th = schedule.get_size(size, scale, w0, h0, oversize)
     img = img.resize((tw, th), Image.LANCZOS)
     return (np.asarray(img, dtype=np.float32) / 255.0)[None]
 
@@ -184,7 +197,8 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
     # validate() cross-checks it against mixing_weights
     cfg = OptexConfig(style=["<b64>"] * len(styles_b64),
                       **cfg_args).validate()
-    styles = [_decode_image(b, cfg.size, oversize=True) for b in styles_b64]
+    styles = [_decode_image(b, cfg.size, oversize=True,
+                            scale=cfg.style_scale) for b in styles_b64]
     if any(s.shape != styles[0].shape for s in styles[1:]):
         raise ValueError("style images must load to the same shape")
     content = None
@@ -329,6 +343,36 @@ def _run_style_parallel_locked(pool, cfg, styles):
 # K x _MAX_REQUEST_BYTES.
 _MAX_REQUEST_BYTES = 128 * 1024 * 1024
 _MAX_CONCURRENT_BODY_READS = 4
+# Total wall-clock budget for reading ONE request body. The per-recv socket
+# timeout alone doesn't bound a trickle client (1 byte per <timeout holds a
+# body-read semaphore slot forever — ADVICE r3); this cap bounds the whole
+# read regardless of per-chunk progress.
+_BODY_READ_DEADLINE_S = 120.0
+_BODY_READ_CHUNK = 1 << 20
+
+
+def _read_body_deadline(rfile, n: int, deadline_s: float = None) -> bytes:
+    """Read exactly n bytes in bounded chunks under a TOTAL wall-clock
+    deadline; raises TimeoutError when the budget runs out (including on a
+    trickle upload that keeps each individual recv fast)."""
+    deadline_s = _BODY_READ_DEADLINE_S if deadline_s is None else deadline_s
+    t0 = time.monotonic()
+    # read1 returns after AT Most one underlying recv (rfile is a buffered
+    # reader over the socket), so the deadline check runs after every recv —
+    # a plain read(k) would block inside one call for as long as the client
+    # keeps trickling single bytes
+    read1 = getattr(rfile, "read1", None)
+    parts, got = [], 0
+    while got < n:
+        if time.monotonic() - t0 > deadline_s:
+            raise TimeoutError("request body read exceeded total deadline")
+        want = min(_BODY_READ_CHUNK, n - got)
+        chunk = read1(want) if read1 is not None else rfile.read(want)
+        if not chunk:
+            break  # client closed early; json.loads will reject the stub
+        parts.append(chunk)
+        got += len(chunk)
+    return b"".join(parts)
 
 
 class WorkerSet:
@@ -453,9 +497,12 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 # read + parse BEFORE checking out a worker: a slow upload
                 # must not hold a compute slot doing network I/O. The
                 # semaphore bounds how many bodies buffer concurrently; the
-                # class-level socket timeout bounds how long each holds it.
+                # class-level socket timeout bounds each recv and
+                # _read_body_deadline bounds the TOTAL read (a trickle
+                # client can't hold a slot past the deadline).
                 with body_read_sem:
-                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    payload = json.loads(
+                        _read_body_deadline(self.rfile, n) or b"{}")
             except (TimeoutError, OSError):
                 workers.record("client_error", 0.0)
                 try:

