@@ -258,32 +258,175 @@ def _cdf_apply_channel(t, t_hist, s_hist, lo, hi, bins):
     return interp_ref(t, bin_edges, remapped)
 
 
-def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS,
-              use_pallas: bool | None = None) -> jnp.ndarray:
-    """CDF matching, NHWC -> NHWC, vmapped across channels.
+# ----------------------------------------------------------------------------
+# Fast cdf path: gather-free, arithmetic bin indices (round 4)
+#
+# The legacy per-sample remap costs ~6 VPU passes of N x 256 (compare-count
+# searchsorted + one-hot multiply-reduce table lookups); this path exploits
+# that the second interp's xp table (bin right-edges) is UNIFORM, so the
+# searchsorted collapses to O(1) arithmetic per sample, and the remaining
+# table lookups factor through 16 x 16 one-hots (the 256-wide one-hot never
+# materializes). Numerics: identical to the legacy path except that samples
+# within ~1 ulp of a bin edge may resolve to the adjacent segment — the PWL
+# map is continuous at its nodes, so values agree to float noise (the
+# reference's cdf mode is itself documented as chaotic at pass granularity).
 
-    On TPU the per-channel histograms come from the fused Pallas kernel
-    (one launch for all channels); elsewhere from an XLA scatter-add.
-    """
-    bt, h, w, c = target.shape
-    t = target.reshape(-1, c).T  # (C, Nt)
-    s = source.reshape(-1, c).T  # (C, Ns)
+
+def _shift_rows(v: jnp.ndarray) -> jnp.ndarray:
+    """v[:, i] -> v[:, min(i+1, B-1)] (the reference's clipped idx_next)."""
+    return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+
+
+def _edges_rows(lo: jnp.ndarray, hi: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """(C,) ranges -> (C, bins) right bin edges (linspace semantics,
+    histmatch.py:60)."""
+    return jax.vmap(lambda l, h: jnp.linspace(l, h, bins + 1)[1:])(lo, hi)
+
+
+def _remap_table_rows(t_cdf: jnp.ndarray, s_cdf: jnp.ndarray,
+                      edges: jnp.ndarray) -> jnp.ndarray:
+    """remapped[c] = interp_ref(t_cdf[c]; xp=s_cdf[c], fp=edges[c]) for every
+    channel at once, gather-free: compare-count searchsorted (xp is NOT
+    uniform here, but there are only 256 queries per channel) + one-hot
+    table contraction. Bit-identical to vmapped interp_ref: the one-hot
+    einsum selects exactly one f32 value per query."""
+    bins = t_cdf.shape[1]
+    idx = jnp.minimum(jnp.sum(s_cdf[:, None, :] < t_cdf[:, :, None], axis=2),
+                      bins - 1)                                   # (C, B)
+    tabs = jnp.stack([s_cdf, _shift_rows(s_cdf),
+                      edges, _shift_rows(edges)], axis=2)         # (C, B, 4)
+    ids = jnp.arange(bins, dtype=idx.dtype)
+    oh = (idx[:, :, None] == ids).astype(jnp.float32)             # (C, B, B)
+    vals = jnp.einsum("cqb,cbk->cqk", oh, tabs, precision=HIGHEST)
+    xp_i, xp_n, fp_i, fp_n = (vals[..., 0], vals[..., 1],
+                              vals[..., 2], vals[..., 3])
+    slope = (fp_n - fp_i) / (xp_n - xp_i)
+    f0 = slope * (t_cdf - xp_i) + fp_i
+    f1 = slope * (t_cdf - xp_n) + fp_n
+    return jnp.where(jnp.isfinite(f0), f0,
+                     jnp.where(jnp.isfinite(f1), f1, fp_i))
+
+
+def _pwl_bin_index(t: jnp.ndarray, lo: jnp.ndarray, step_safe: jnp.ndarray,
+                   bins: int) -> jnp.ndarray:
+    """Arithmetic equivalent of searchsorted(bin_edges, x, 'left') for the
+    UNIFORM edge table: #(edges < x) with edges[j] = lo + (j+1)*step."""
+    u = (t - lo[:, None]) / step_safe[:, None]
+    return jnp.clip(jnp.ceil(u).astype(jnp.int32) - 1, 0, bins - 1)
+
+
+def _pwl_apply_rows(t: jnp.ndarray, remapped: jnp.ndarray, lo: jnp.ndarray,
+                    hi: jnp.ndarray) -> jnp.ndarray:
+    """Second interp of the cdf remap: out = interp_ref(t; bin_edges,
+    remapped) per channel — XLA formulation (fused one-hot lookups; the
+    Pallas kernel in ops/pallas/pwl_remap.py is the TPU-optimized twin)."""
+    bins = remapped.shape[1]
+    width = hi - lo
+    step = width / bins
+    step_safe = jnp.where(step > 0, step, 1.0)
+    j = _pwl_bin_index(t, lo, step_safe, bins)                    # (C, N)
+
+    ids = jnp.arange(bins, dtype=j.dtype)
+    oh = j[:, :, None] == ids                                     # fused
+    fp_i = jnp.sum(jnp.where(oh, remapped[:, None, :], 0.0), axis=2)
+    rnext = _shift_rows(remapped)
+    fp_n = jnp.sum(jnp.where(oh, rnext[:, None, :], 0.0), axis=2)
+
+    xp_i = lo[:, None] + (j + 1).astype(t.dtype) * step[:, None]
+    xp_n = lo[:, None] + jnp.minimum(j + 2, bins).astype(t.dtype) * step[:, None]
+    slope = (fp_n - fp_i) / (xp_n - xp_i)
+    f = slope * (t - xp_i) + fp_i
+    # j == bins-1: xp_n == xp_i -> the reference's non-finite fallback chain
+    # lands on fp_i (the whole last bin maps to remapped[-1])
+    f = jnp.where(j >= bins - 1, fp_i, f)
+    # degenerate shared range (constant channel): searchsorted gives idx 0
+    # and the fallback lands on remapped[0]
+    return jnp.where((width > 0)[:, None], f, remapped[:, :1])
+
+
+def cdf_cdfs_rows(t_hist: jnp.ndarray, s_hist: jnp.ndarray):
+    """Histogram counts -> normalized CDFs (reference op order)."""
+    t_cdf = jnp.cumsum(t_hist, axis=1)
+    t_cdf = t_cdf / t_cdf[:, -1:]
+    s_cdf = jnp.cumsum(s_hist, axis=1)
+    s_cdf = s_cdf / s_cdf[:, -1:]
+    return t_cdf, s_cdf
+
+
+def histogram_rows(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                   bins: int = BINS,
+                   use_pallas: bool | None = None) -> jnp.ndarray:
+    """(C, N) samples + per-channel ranges -> (C, bins) float32 counts with
+    torch.histc binning. Pallas kernel on TPU (one launch, VPU one-hot
+    accumulate), fused one-hot reduction elsewhere (exact; XLA fuses the
+    (C, N, bins) compare into the sum — scatter-add would serialize)."""
+    if _pallas_auto(use_pallas) and bins == BINS:
+        from .pallas.histogram import batched_histogram
+
+        return batched_histogram(x, lo, hi)
+    width = hi - lo
+    safe = jnp.where(width > 0, width, 1.0)
+    idx = ((x - lo[:, None]) * bins / safe[:, None]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, bins - 1)
+    ids = jnp.arange(bins, dtype=jnp.int32)
+    return jnp.sum((idx[:, :, None] == ids).astype(jnp.float32), axis=1)
+
+
+def cdf_apply_rows(t: jnp.ndarray, t_hist: jnp.ndarray, s_hist: jnp.ndarray,
+                   lo: jnp.ndarray, hi: jnp.ndarray,
+                   use_pallas: bool | None = None) -> jnp.ndarray:
+    """Apply cdf matching to (C, N) target rows given per-channel histograms
+    on the shared range. The tiny table work (cdfs + cdf->cdf remap) always
+    runs in XLA; the per-sample PWL evaluation uses the Pallas kernel on TPU
+    and the fused-one-hot XLA twin elsewhere. The DISTRIBUTED cdf step psums
+    t_hist between histogram_rows and this call — both halves are pure
+    functions of the (already-global) histograms."""
+    bins = t_hist.shape[1]
+    t_cdf, s_cdf = cdf_cdfs_rows(t_hist, s_hist)
+    edges = _edges_rows(lo, hi, bins)
+    remapped = _remap_table_rows(t_cdf, s_cdf, edges)
+    if _pallas_auto(use_pallas) and bins == BINS:
+        from .pallas.pwl_remap import pwl_remap
+
+        return pwl_remap(t, remapped, lo, hi)
+    return _pwl_apply_rows(t, remapped, lo, hi)
+
+
+def _pallas_auto(use_pallas: bool | None) -> bool:
     if use_pallas is None:
         import os
 
-        use_pallas = (jax.default_backend() in ("tpu", "axon")
-                      and os.environ.get("OPTEX_NO_PALLAS") != "1")
-    if use_pallas and bins == BINS:
-        from .pallas.cdf_remap import cdf_remap
-        from .pallas.histogram import batched_histogram
+        return (jax.default_backend() in ("tpu", "axon")
+                and os.environ.get("OPTEX_NO_PALLAS") != "1")
+    return bool(use_pallas)
 
-        lo = jnp.minimum(t.min(axis=1), s.min(axis=1))
-        hi = jnp.maximum(t.max(axis=1), s.max(axis=1))
-        t_hist = batched_histogram(t, lo, hi)
-        s_hist = batched_histogram(s, lo, hi)
-        matched = cdf_remap(t, t_hist, s_hist, lo, hi)
-    else:
+
+def cdf_match_rows(t: jnp.ndarray, s: jnp.ndarray, bins: int = BINS,
+                   use_pallas: bool | None = None) -> jnp.ndarray:
+    """Row-major cdf matching core: t (C, Nt) matched to s (C, Ns)."""
+    lo = jnp.minimum(t.min(axis=1), s.min(axis=1))
+    hi = jnp.maximum(t.max(axis=1), s.max(axis=1))
+    t_hist = histogram_rows(t, lo, hi, bins, use_pallas)
+    s_hist = histogram_rows(s, lo, hi, bins, use_pallas)
+    return cdf_apply_rows(t, t_hist, s_hist, lo, hi, use_pallas)
+
+
+def cdf_match(target: jnp.ndarray, source: jnp.ndarray, bins: int = BINS,
+              use_pallas: bool | None = None) -> jnp.ndarray:
+    """CDF matching, NHWC -> NHWC, all channels at once.
+
+    The fast gather-free path (arithmetic bin indices + factored lookups) is
+    the default everywhere since r4 — on TPU its per-sample stage runs as
+    Pallas kernels, elsewhere as fused XLA. ``bins != 256`` falls back to
+    the legacy vmapped searchsorted/gather implementation (kept as the
+    golden oracle in tests)."""
+    bt, h, w, c = target.shape
+    t = target.reshape(-1, c).T  # (C, Nt)
+    s = source.reshape(-1, c).T  # (C, Ns)
+    if bins != BINS:
         matched = jax.vmap(partial(_cdf_match_channel, bins=bins))(t, s)
+    else:
+        matched = cdf_match_rows(t, s, bins, use_pallas)
     return matched.T.reshape(bt, h, w, c)
 
 

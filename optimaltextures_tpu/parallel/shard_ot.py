@@ -17,8 +17,10 @@ construction, no broadcast needed. Numerics match the single-device path to
 float tolerance, so this is "free" scaling: no algorithm drift.
 
 Convolution encode/decode under batch sharding is trivially parallel (XLA
-just partitions the batch dim); :func:`sharded_stage` jits the whole
-(encode -> OT loop -> decode) stage over the mesh.
+just partitions the batch dim); :func:`make_sharded_pass` jits ALL of a
+pass's (encode -> OT loop -> decode) stages as one program over the mesh
+(the per-layer stage builders were folded into it in r4 — a single-layer
+pass IS a layer stage).
 """
 
 from __future__ import annotations
@@ -82,9 +84,12 @@ def ot_step_moment_sharded(key, feature, style_mu, style_cov_raw, mode: str,
 def _cdf_step_sharded(rot, feature, style_samples, axis: str):
     """Sharded cdf matching: lo/hi and the target histogram reduce over the
     mesh (pmin/pmax + psum), so the 256-bin CDF is the exact global one; the
-    remap then applies locally. Style samples are replicated."""
-    from ..ops.histmatch import BINS, _cdf_apply_channel, _histc
+    remap then applies locally. Style samples are replicated.
 
+    Uses the same fast gather-free primitives as the single-device loop
+    (histmatch.histogram_rows / cdf_apply_rows, r4) — per-shard counts are
+    exact integers in float32, so the psum'd histogram is bit-identical to
+    the single-device one and the sharded outputs stay exactly equal."""
     c = feature.shape[-1]
     b, h, w, _ = feature.shape
     rf = jnp.matmul(feature.reshape(-1, c), rot, precision=HIGHEST)
@@ -95,12 +100,11 @@ def _cdf_step_sharded(rot, feature, style_samples, axis: str):
     lo = jnp.minimum(jax.lax.pmin(t.min(axis=1), axis), s.min(axis=1))
     hi = jnp.maximum(jax.lax.pmax(t.max(axis=1), axis), s.max(axis=1))
 
-    t_hist = jax.vmap(lambda tc, l, h_: _histc(tc, l, h_, BINS))(t, lo, hi)
+    t_hist = histmatch.histogram_rows(t, lo, hi)
     t_hist = jax.lax.psum(t_hist, axis)  # exact global target histogram
-    s_hist = jax.vmap(lambda sc, l, h_: _histc(sc, l, h_, BINS))(s, lo, hi)
+    s_hist = histmatch.histogram_rows(s, lo, hi)
 
-    matched = jax.vmap(lambda tc, th, sh, l, h_: _cdf_apply_channel(
-        tc, th, sh, l, h_, BINS))(t, t_hist, s_hist, lo, hi)
+    matched = histmatch.cdf_apply_rows(t, t_hist, s_hist, lo, hi)
     out = jnp.matmul(matched.T, rot.T, precision=HIGHEST)
     return out.reshape(b, h, w, c)
 
@@ -305,44 +309,4 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
         pass_local, mesh=mesh,
         in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep, rep),
         out_specs=shard)
-    return jax.jit(fn, donate_argnums=(2,))
-
-
-def make_sharded_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
-                       strength: float = 0.0, use_pca: bool = False,
-                       axis: str = "data", pad_mode: str = "reflect",
-                       cov_prop=None):
-    """Build a jitted full stage (encode -> project -> sharded OT loop ->
-    unproject -> decode) over a batch-sharded pastiche.
-
-    Returns fn(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-    style_samples, eigvecs, content_feat, key) -> pastiche. All non-pastiche
-    inputs are replicated; pastiche is sharded on batch; content features are
-    replicated (B=1 broadcasts against local shards).
-    """
-    shard = P(axis, None, None, None)
-    rep = P()
-
-    def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-                    style_samples, eigvecs, content_feat, key, k_mask):
-        feat = encode(enc_params, depth, pastiche, pad_mode)
-        feat = feat.astype(jnp.float32)
-        if use_pca:
-            feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
-        feat = sharded_transport_loop(key, feat, style_mu, style_cov_raw,
-                                      n_iters, mode, axis,
-                                      style_samples=style_samples,
-                                      content_feature=content_feat,
-                                      content_strength=strength,
-                                      k_mask=k_mask, cov_prop=cov_prop)
-        if use_pca:
-            feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
-        return decode(dec_params, depth, feat.astype(pastiche.dtype),
-                      pad_mode)
-
-    fn = jax.shard_map(
-        stage_local, mesh=mesh,
-        in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep, rep),
-        out_specs=shard,
-    )
     return jax.jit(fn, donate_argnums=(2,))

@@ -191,46 +191,6 @@ def make_spatial_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
     return jax.jit(fn, donate_argnums=(2,))
 
 
-def make_spatial_stage(mesh: Mesh, depth: int, n_iters: int, mode: str,
-                       strength: float = 0.0, use_pca: bool = False,
-                       axis: str = "space", pad_mode: str = "reflect",
-                       cov_prop=None):
-    """Jitted full stage over an H-sharded pastiche: halo-exchange encode ->
-    sequence-parallel OT loop -> halo-exchange decode.
-
-    fn(enc_params, dec_params, pastiche_H-sharded, style_mu, style_cov_raw,
-    style_samples, eigvecs, content_feat, key, k_mask) -> pastiche. Style
-    stats/samples replicated; content features (already projected +
-    re-centered) arrive H-sharded like the pastiche's features. Same argument
-    order as :func:`shard_ot.make_sharded_stage`.
-    """
-    shard = P(None, axis, None, None)
-    rep = P()
-
-    def stage_local(enc_params, dec_params, pastiche, style_mu, style_cov_raw,
-                    style_samples, eigvecs, content_feat, key, k_mask):
-        feat = encode_spatial(enc_params, depth, pastiche, axis, pad_mode)
-        feat = feat.astype(jnp.float32)  # OT statistics always in f32
-        if use_pca:
-            feat = jnp.matmul(feat, eigvecs, precision=HIGHEST)
-        feat = spatial_transport_loop(key, feat, style_mu, style_cov_raw,
-                                      n_iters, mode, axis,
-                                      style_samples=style_samples,
-                                      content_feature=content_feat,
-                                      content_strength=strength,
-                                      k_mask=k_mask, cov_prop=cov_prop)
-        if use_pca:
-            feat = jnp.matmul(feat, eigvecs.T, precision=HIGHEST)
-        return decode_spatial(dec_params, depth, feat.astype(pastiche.dtype),
-                              axis, pad_mode)
-
-    fn = jax.shard_map(stage_local, mesh=mesh,
-                       in_specs=(rep, rep, shard, rep, rep, rep, rep, shard,
-                                 rep, rep),
-                       out_specs=shard)
-    return jax.jit(fn, donate_argnums=(2,))
-
-
 def check_spatial_divisibility(h: int, n_devices: int, depth: int) -> None:
     need = n_devices * (2 ** (depth - 1))
     if h % need != 0:

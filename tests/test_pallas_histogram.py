@@ -76,3 +76,63 @@ def test_cdf_match_pallas_vs_xla_full(rng):
         got = np.asarray(histmatch.cdf_match(jnp.asarray(t), jnp.asarray(s),
                                              use_pallas=True))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_pwl_remap_kernel_matches_xla_twin(rng):
+    """New r4 per-sample PWL kernel (interpret) vs histmatch._pwl_apply_rows
+    — the two must agree to float noise on generic, constant-channel, and
+    edge-heavy inputs."""
+    from optimaltextures_tpu.ops.pallas.pwl_remap import pwl_remap
+
+    c, n = 5, 700
+    t = rng.normal(0, 3, (c, n)).astype(np.float32)
+    s = rng.normal(1, 2, (c, 1200)).astype(np.float32)
+    t[3] = 2.5                      # constant target channel
+    s[4] = -1.0                     # constant source channel
+    lo = np.minimum(t.min(axis=1), s.min(axis=1))
+    hi = np.maximum(t.max(axis=1), s.max(axis=1))
+    t[2, :50] = hi[2]               # pile samples on the top edge
+    t_hist = np.asarray(_reference(jnp.asarray(t), jnp.asarray(lo),
+                                   jnp.asarray(hi)))
+    s_hist = np.asarray(_reference(jnp.asarray(s), jnp.asarray(lo),
+                                   jnp.asarray(hi)))
+    t_cdf, s_cdf = histmatch.cdf_cdfs_rows(jnp.asarray(t_hist),
+                                           jnp.asarray(s_hist))
+    edges = histmatch._edges_rows(jnp.asarray(lo), jnp.asarray(hi), 256)
+    remapped = histmatch._remap_table_rows(t_cdf, s_cdf, edges)
+    want = np.asarray(histmatch._pwl_apply_rows(
+        jnp.asarray(t), remapped, jnp.asarray(lo), jnp.asarray(hi)))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pwl_remap(jnp.asarray(t), remapped,
+                                   jnp.asarray(lo), jnp.asarray(hi)))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_cdf_match_fast_pallas_vs_xla_full(rng):
+    """End-to-end cdf_match with the r4 kernels (interpret) vs the pure-XLA
+    fast path: the Pallas dispatch must not change results beyond float
+    noise."""
+    t = rng.normal(0, 2, (1, 24, 24, 6)).astype(np.float32)
+    s = rng.normal(1, 3, (1, 20, 20, 6)).astype(np.float32)
+    ref = np.asarray(histmatch.cdf_match(jnp.asarray(t), jnp.asarray(s),
+                                         use_pallas=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(histmatch.cdf_match(jnp.asarray(t), jnp.asarray(s),
+                                             use_pallas=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+
+def test_cdf_fast_vs_legacy_vmapped(rng):
+    """The r4 fast path vs the legacy searchsorted/gather oracle: identical
+    up to edge-adjacent segment choice (value-continuous)."""
+    t = rng.normal(0, 2, (1, 16, 16, 5)).astype(np.float32)
+    s = rng.normal(0.5, 2.5, (1, 18, 18, 5)).astype(np.float32)
+    tj = jnp.asarray(t).reshape(-1, 5).T
+    sj = jnp.asarray(s).reshape(-1, 5).T
+    legacy = np.asarray(jax.vmap(
+        lambda a, b: histmatch._cdf_match_channel(a, b, 256))(tj, sj))
+    fast = np.asarray(histmatch.cdf_match_rows(tj, sj, use_pallas=False))
+    scale = np.abs(legacy).max()
+    np.testing.assert_allclose(fast, legacy, atol=2e-5 * scale, rtol=0)

@@ -13,7 +13,7 @@ from optimaltextures_tpu.models import weights
 from optimaltextures_tpu.models.vgg import decode, encode
 from optimaltextures_tpu.parallel import spatial
 from optimaltextures_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-from optimaltextures_tpu.parallel.shard_ot import make_sharded_stage
+from optimaltextures_tpu.parallel.shard_ot import make_sharded_pass
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 
@@ -33,6 +33,8 @@ def _single_device_stage(enc_p, dec_p, pastiche, stats, key, n_iters, mode):
 
 
 def test_batch_dp_matches_single_device(rng):
+    """Single-layer fused pass (the only sharded builder since r4) vs the
+    plain single-device stage; the pass folds the key per layer position."""
     enc_p, dec_p = _params()
     mesh = make_mesh(8)
     b = 8
@@ -42,14 +44,17 @@ def test_batch_dp_matches_single_device(rng):
     stats = transport.style_stats(style_feat, need_samples=False)
     key = jax.random.key(3)
 
-    ref = np.asarray(_single_device_stage(enc_p, dec_p, pastiche, stats, key, 3, "chol"))
+    ref = np.asarray(_single_device_stage(
+        enc_p, dec_p, pastiche, stats, jax.random.fold_in(key, 0), 3, "chol"))
 
-    stage = make_sharded_stage(mesh, depth=DEPTH, n_iters=3, mode="chol")
+    stage = make_sharded_pass(mesh, depths=(DEPTH,), iters=(3,), mode="chol",
+                              strengths=(0.0,), pca_flags=(False,))
     p_sh = jax.device_put(pastiche, batch_sharding(mesh))
     rep = replicated(mesh)
-    got = stage(enc_p, dec_p, p_sh,
-                jax.device_put(stats.mu, rep), jax.device_put(stats.cov_raw, rep),
-                None, None, None, key, None)
+    got = stage((enc_p,), (dec_p,), p_sh,
+                (jax.device_put(stats.mu, rep),),
+                (jax.device_put(stats.cov_raw, rep),),
+                (None,), (None,), (None,), key, (None,))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
@@ -79,13 +84,17 @@ def test_spatial_full_stage_matches_single_device(rng):
     stats = transport.style_stats(style_feat, need_samples=False)
     key = jax.random.key(5)
 
-    ref = np.asarray(_single_device_stage(enc_p, dec_p, img, stats, key, 3, "chol"))
+    ref = np.asarray(_single_device_stage(
+        enc_p, dec_p, img, stats, jax.random.fold_in(key, 0), 3, "chol"))
 
     spatial.check_spatial_divisibility(64, 8, DEPTH)
-    stage = spatial.make_spatial_stage(mesh, depth=DEPTH, n_iters=3, mode="chol")
+    stage = spatial.make_spatial_pass(mesh, depths=(DEPTH,), iters=(3,),
+                                      mode="chol", strengths=(0.0,),
+                                      pca_flags=(False,))
     img_sh = jax.device_put(img, NamedSharding(mesh, P(None, "space", None, None)))
-    got = np.asarray(stage(enc_p, dec_p, img_sh, stats.mu, stats.cov_raw,
-                           None, None, None, key, None))
+    got = np.asarray(stage((enc_p,), (dec_p,), img_sh, (stats.mu,),
+                           (stats.cov_raw,), (None,), (None,), (None,),
+                           key, (None,)))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
@@ -308,9 +317,10 @@ def test_sp_e2e_content_and_color_transfer(rng):
 
 def test_style_parallel_stage_matches_per_style(rng):
     """Style parallelism (one style per device, local stats, no collectives)
-    must equal N independent single-device runs with the same key."""
+    must equal N independent single-device runs with the same key — via the
+    fused single-layer pass (the only EP builder since r4)."""
     from optimaltextures_tpu.parallel.style_dp import (
-        make_style_parallel_stage, per_style_stats)
+        make_style_parallel_pass, per_style_stats)
 
     enc_p, dec_p = _params()
     mesh = make_mesh(8)
@@ -324,15 +334,17 @@ def test_style_parallel_stage_matches_per_style(rng):
     for i in range(n):
         stats = transport.style_stats(sf[i:i + 1], need_samples=False)
         refs.append(np.asarray(_single_device_stage(
-            enc_p, dec_p, pastiche[i:i + 1], stats, key, 3, "chol")))
+            enc_p, dec_p, pastiche[i:i + 1], stats,
+            jax.random.fold_in(key, 0), 3, "chol")))
     ref = np.concatenate(refs)
 
     mu, cov, samples = per_style_stats(sf, need_samples=False)
-    stage = make_style_parallel_stage(mesh, depth=DEPTH, n_iters=3,
-                                      mode="chol")
+    stage = make_style_parallel_pass(mesh, depths=(DEPTH,), iters=(3,),
+                                     mode="chol", pca_flags=(False,))
     sh = NamedSharding(mesh, P("data"))
-    got = stage(enc_p, dec_p, jax.device_put(pastiche, sh),
-                jax.device_put(mu, sh), jax.device_put(cov, sh), None, key)
+    got = stage((enc_p,), (dec_p,), jax.device_put(pastiche, sh),
+                (jax.device_put(mu, sh),), (jax.device_put(cov, sh),),
+                (None,), (None,), (None,), key)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
@@ -423,10 +435,10 @@ def test_style_parallel_batch_cdf_mode(rng):
 
 
 def test_style_parallel_e2e_per_style_outputs(rng):
-    """synthesize_styles: each device's output tracks ITS OWN style's pixel
-    statistics (true per-style independence, not joint matching)."""
+    """synthesize_style_batch: each device's output tracks ITS OWN style's
+    pixel statistics (true per-style independence, not joint matching)."""
     from optimaltextures_tpu.config import OptexConfig
-    from optimaltextures_tpu.parallel.style_dp import synthesize_styles
+    from optimaltextures_tpu.parallel.style_dp import synthesize_style_batch
     from optimaltextures_tpu.utils import imageio
 
     a = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
@@ -438,7 +450,7 @@ def test_style_parallel_e2e_per_style_outputs(rng):
     cfg = OptexConfig(size=64, passes=1, iters=16, no_multires=True, depth=2,
                       seed=23, no_pca=True,
                       style=["/root/reference/style/graffiti.jpg"])
-    out = np.asarray(synthesize_styles(cfg, styles, make_mesh(8)))
+    out = np.asarray(synthesize_style_batch(cfg, styles, make_mesh(8)))
     assert out.shape == (8, 64, 64, 3) and np.isfinite(out).all()
     for i, s in enumerate(styles):
         assert abs(out[i].mean() - np.asarray(s).mean()) < 0.15, i
