@@ -78,3 +78,112 @@ def test_quality_gate_chol():
 def test_quality_gate_sort():
     # fewer iters: sort's CPU cost is ~2x chol's; the gate margins hold
     _gate("sort", 60)
+
+
+def test_quality_gate_cdf():
+    # the r4 fast path must keep closing the gap, not just be fast
+    _gate("cdf", 60)
+
+
+def test_quality_gate_pca():
+    _gate("pca", 60)
+
+
+def test_quality_gate_sym():
+    _gate("sym", 60)
+
+
+def test_quality_gate_transfer():
+    """Style TRANSFER gate (VERDICT r3 weak #3): the output must sit in the
+    calibrated band between content and style — features moved most of the
+    way to the style, pixel structure still correlated with the content.
+
+    Calibration (this exact config, CPU, measured r4): sw1(out, style)=0.99
+    vs sw1(content, style)=1.91 (ratio 0.52); pixel corr(out, content)=0.41;
+    a content-free synthesis of the same style measures corr -0.05, so the
+    corr fence separates cleanly. Thresholds carry ~35% headroom."""
+    rng = np.random.default_rng(0)
+    bank = VGGBank(3)
+    enc = bank.encode_fn(3)
+    style = imageio.load_image("/root/reference/style/lava-small.jpg", 128,
+                               oversize=False)
+    content = imageio.load_image("/root/reference/content/rocket.jpg", 128,
+                                 oversize=False)
+    cfg = OptexConfig(size=128, passes=2, iters=120, depth=3, seed=5,
+                      content_strength=0.2, style=["x"], content="y")
+    out, _ = core.synthesize(cfg, [style], content)
+    out = np.clip(np.asarray(out), 0.0, 1.0)
+
+    sty_f = _cloud(enc, np.asarray(style))
+    out_m = _metrics(_cloud(enc, out), sty_f, rng)
+    con_m = _metrics(_cloud(enc, np.asarray(content)), sty_f, rng)
+    # feature side: a substantial part of the content->style gap closed
+    assert out_m["sw1"] < 0.7 * con_m["sw1"], (out_m, con_m)
+    # pixel side: content structure retained (content-free synthesis ~ -0.05)
+    o = out.reshape(-1) - out.mean()
+    c = np.asarray(content).reshape(-1) - np.asarray(content).mean()
+    corr = float(o @ c / (np.linalg.norm(o) * np.linalg.norm(c) + 1e-9))
+    assert corr > 0.25, corr
+
+
+def test_quality_gate_mixing():
+    """Texture MIXING gate: the output must contain two substantial regions,
+    each statistically close to ITS OWN style (a collapse to one style, or
+    broken matching, fails). Regions are recovered from the output itself:
+    each relu3_1 feature position is assigned to the nearer style mean.
+
+    Calibration (this config, CPU, measured r4): region share 0.38/0.62;
+    per-region sw1 vs own style 1.09/1.16 against noise anchors 2.23/2.59
+    (ratios 0.49/0.45, fence 0.7 -> ~35% headroom)."""
+    rng = np.random.default_rng(0)
+    bank = VGGBank(3)
+    enc = bank.encode_fn(3)
+    a = imageio.load_image("/root/reference/style/graffiti.jpg", 128,
+                           oversize=False)   # bright
+    b = imageio.load_image("/root/reference/style/lava-small.jpg", 128,
+                           oversize=False)   # dark
+    h = min(a.shape[1], b.shape[1]); w = min(a.shape[2], b.shape[2])
+    a, b = a[:, :h, :w], b[:, :h, :w]
+    cfg = OptexConfig(size=128, passes=2, iters=120, depth=3, seed=5,
+                      mixing_alpha=0.5, style=["a", "b"])
+    out, _ = core.synthesize(cfg, [a, b])
+    out = np.clip(np.asarray(out), 0.0, 1.0)
+
+    import jax.numpy as jnp
+
+    feat = np.asarray(enc(jnp.asarray(out, jnp.float32)))[0]   # (h, w, C)
+    fa = _cloud(enc, np.asarray(a))
+    fb = _cloud(enc, np.asarray(b))
+    da = np.linalg.norm(feat - fa.mean(0), axis=-1)
+    db = np.linalg.norm(feat - fb.mean(0), axis=-1)
+    to_a = da < db
+    share = float(to_a.mean())
+    # both styles must claim a substantial region (collapse -> ~0 or ~1)
+    assert 0.15 < share < 0.85, share
+
+    noise = rng.uniform(size=out.shape).astype(np.float32)
+    noise_f = _cloud(enc, noise)
+    for sel, sty_f in ((to_a, fa), (~to_a, fb)):
+        region = feat[sel]
+        m = _metrics(region, sty_f, rng)
+        nm = _metrics(noise_f, sty_f, rng)
+        # each recovered region must close most of the noise->style gap
+        # toward ITS style
+        assert m["sw1"] < 0.7 * nm["sw1"], (m, nm, float(sel.mean()))
+
+
+def test_quality_gate_tileable_seam():
+    """Tileable synthesis seam fence (VERDICT r3 weak #3): the wrap-seam
+    gradient must stay within 1.5x the interior gradient (measured 1.1x on
+    TPU in r2; reflect padding measures ~3.8x)."""
+    cfg = OptexConfig(size=128, passes=2, iters=80, depth=3, seed=5,
+                      tileable=True, style=[STYLE])
+    style = imageio.load_image(STYLE, 128, oversize=False)
+    out, _ = core.synthesize(cfg, [style])
+    out = np.clip(np.asarray(out), 0.0, 1.0)[0]
+
+    interior = 0.5 * (np.abs(np.diff(out, axis=0)).mean()
+                      + np.abs(np.diff(out, axis=1)).mean())
+    seam = 0.5 * (np.abs(out[0] - out[-1]).mean()
+                  + np.abs(out[:, 0] - out[:, -1]).mean())
+    assert seam < 1.5 * interior, (seam, interior, seam / interior)
