@@ -81,7 +81,8 @@ class OptexConfig:
     # All five hist modes compose (sort runs the exact distributed sort).
     # Combined with num_devices > 1 this builds the 2-D batch x height grid
     # (r3): batch over "data", H over "space", joint statistics psum'd over
-    # both axes (synthesis only; sort unsupported on the grid).
+    # both axes (synthesis only; since r4 ALL five hist modes compose,
+    # including the exact distributed sort).
     spatial_devices: int = 1
     # Use the fused Pallas kernel for cdf-mode histogram matching when on TPU.
     use_pallas: bool = True
@@ -159,12 +160,9 @@ class OptexConfig:
                 f"content_anchor must be index|depth, got {self.content_anchor!r}")
         if self.spatial_devices > 1:
             if self.num_devices > 1:
-                # 2-D grid (r3): batch over "data" x height over "space"
-                if self.hist_mode == "sort":
-                    raise ValueError(
-                        "sort on the 2-D (batch x height) grid is "
-                        "unsupported — use a 1-D mesh for the exact "
-                        "distributed sort, or cdf on the grid")
+                # 2-D grid (r3): batch over "data" x height over "space";
+                # ALL five hist modes compose (sort's flatten order is
+                # recovered by the two-step gather, r4)
                 if self.batch % self.num_devices:
                     raise ValueError(
                         f"batch {self.batch} not divisible by num_devices "

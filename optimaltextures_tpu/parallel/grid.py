@@ -59,13 +59,15 @@ def grid_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
     """The OT loop on a (batch, H)-grid-sharded feature map — the 2-D
     layout of :func:`shard_ot.sharded_transport_loop_axes`: per-image means
     reduce over the space ring only, the pooled covariance (and cdf
-    ranges/histograms) over the whole grid; sort is rejected (its
-    gather-order argument is per-axis — use a 1-D mesh for sort)."""
+    ranges/histograms) over the whole grid; sort runs the EXACT distributed
+    sort via the two-step order-recovering gather (r4,
+    :func:`shard_ot._sort_step_grid`)."""
     from .shard_ot import sharded_transport_loop_axes
 
     return sharded_transport_loop_axes(
         key, feature, style_mu, style_cov_raw, n_iters, mode,
-        mean_axes=(saxis,), gram_axes=(baxis, saxis), sort_axis=None,
+        mean_axes=(saxis,), gram_axes=(baxis, saxis),
+        sort_axis=(baxis, saxis),
         style_samples=style_samples, content_feature=content_feature,
         content_strength=content_strength, k_mask=k_mask, cov_prop=cov_prop)
 

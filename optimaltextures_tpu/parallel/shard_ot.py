@@ -139,6 +139,48 @@ def _sort_step_sharded(rot, feature, style_samples, axis: str):
     return out.reshape(b, h, w, c)
 
 
+def _sort_step_grid(rot, feature, style_samples, data_axis: str,
+                    space_axis: str):
+    """EXACT distributed sort on the 2-D (batch x height) grid (VERDICT r3
+    next-step #7 — previously rejected).
+
+    The single-device flatten order of a (B, H, W) batch is image-major:
+    index = (b*H + h)*W + w. A grid shard holds (b_loc, h_loc, W); a plain
+    tiled all_gather over both axes would concatenate SHARD blocks, which
+    interleaves wrongly (every image's rows are split across the space
+    ring). The order IS recoverable in two steps: gather the space ring
+    with a fresh axis, transpose it under each image's row block (so every
+    image's H rows become contiguous, shard-ring-ordered = top-to-bottom),
+    then a tiled gather over data concatenates whole-image blocks in batch
+    order — exactly the single-device flatten order. The exact rank ->
+    style-quantile map runs on the full cloud and each device slices its
+    own (data_idx, space_idx) block back out. Cost shape matches the 1-D
+    sort: one full-cloud gather + a redundant full sort per device (the
+    exactness-over-scalability trade documented there)."""
+    c = feature.shape[-1]
+    b, h, w, _ = feature.shape                      # LOCAL shard dims
+    hw = h * w
+    rf = jnp.matmul(feature.reshape(-1, c), rot, precision=HIGHEST).T
+    rs = jnp.matmul(style_samples, rot, precision=HIGHEST).T
+
+    g = jax.lax.all_gather(rf, space_axis, axis=1, tiled=False)  # (C,ds,N_l)
+    ds = g.shape[1]
+    g = g.reshape(c, ds, b, hw).transpose(0, 2, 1, 3)            # (C,b,ds,hw)
+    g = g.reshape(c, b * ds * hw)                   # whole images, row order
+    t_all = jax.lax.all_gather(g, data_axis, axis=1, tiled=True)
+
+    matched_all = histmatch.sort_match_rows(t_all, rs)
+
+    db = matched_all.shape[1] // (b * ds * hw)
+    di = jax.lax.axis_index(data_axis)
+    si = jax.lax.axis_index(space_axis)
+    blocks = matched_all.reshape(c, db, b, ds, hw)
+    ours = jax.lax.dynamic_slice(
+        blocks, (0, di, 0, si, 0), (c, 1, b, 1, hw)).reshape(c, b * hw)
+    out = jnp.matmul(ours.T, rot.T, precision=HIGHEST)
+    return out.reshape(b, h, w, c)
+
+
 def sharded_transport_loop_axes(key, feature, style_mu, style_cov_raw,
                                 n_iters: int, mode: str, *,
                                 mean_axes, gram_axes, sort_axis=None,
@@ -154,16 +196,18 @@ def sharded_transport_loop_axes(key, feature, style_mu, style_cov_raw,
       (empty = batch-DP semantics: means stay local to each image shard);
     * ``gram_axes``: axes the pooled covariance Gram — and cdf mode's
       range/histograms — psum over (the joint-statistics axes);
-    * ``sort_axis``: the single axis the exact distributed sort gathers
-      over; None rejects sort on this layout with a clear error.
+    * ``sort_axis``: the axis the exact distributed sort gathers over — a
+      single axis name (1-D layouts, shard order == flatten order), or a
+      ``(data_axis, space_axis)`` tuple for the 2-D grid (flatten order
+      recovered by the two-step gather in :func:`_sort_step_grid`); None
+      rejects sort on this layout with a clear error.
     """
     if n_iters == 0:
         return feature
     if mode == "sort" and sort_axis is None:
         raise ValueError(
-            "sort is unsupported on this mesh layout (the exact distributed "
-            "sort gathers over exactly one axis) — use a 1-D mesh for sort, "
-            "or cdf here")
+            "sort is unsupported on this mesh layout — no gather order is "
+            "defined for it; use a 1-D mesh or the 2-D grid, or cdf here")
 
     c = feature.shape[-1]
     # same batched polar rotation stream as the single-device loop (identical
@@ -231,7 +275,11 @@ def sharded_transport_loop_axes(key, feature, style_mu, style_cov_raw,
         if mode == "cdf":
             feat = _cdf_step_sharded(rot, feat, style_samples, gram_axes)
         elif mode == "sort":
-            feat = _sort_step_sharded(rot, feat, style_samples, sort_axis)
+            if isinstance(sort_axis, tuple):
+                feat = _sort_step_grid(rot, feat, style_samples, *sort_axis)
+            else:
+                feat = _sort_step_sharded(rot, feat, style_samples,
+                                          sort_axis)
         else:
             mu_t, xc, cov_t_raw = moments(feat)
             cov_t_rot = rot.T @ (cov_t_raw @ rot)

@@ -243,12 +243,32 @@ def test_grid_2d_e2e_cdf_mode(rng):
                                rtol=5e-3, atol=5e-3)
 
 
+def test_grid_2d_e2e_sort_mode(rng):
+    """EXACT distributed sort on the 2-D grid (r4, lifting the r3
+    rejection): the two-step order-recovering gather must reproduce the
+    single-device flatten order, so grid == single-device."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=1, iters=3, no_multires=True, depth=2,
+                seed=93, style=["/root/reference/style/graffiti.jpg"],
+                batch=2, hist_mode="sort")
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    out8, _ = core.synthesize(
+        OptexConfig(**base, num_devices=2, spatial_devices=4), [style])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_grid_2d_validation():
     from optimaltextures_tpu.config import OptexConfig
 
-    with pytest.raises(ValueError, match="sort on the 2-D"):
-        OptexConfig(num_devices=2, spatial_devices=2, batch=2,
-                    hist_mode="sort").validate()
+    # sort on the grid is SUPPORTED since r4
+    OptexConfig(num_devices=2, spatial_devices=2, batch=2,
+                hist_mode="sort").validate()
     with pytest.raises(ValueError, match="not divisible"):
         OptexConfig(num_devices=2, spatial_devices=2, batch=3).validate()
     with pytest.raises(ValueError, match="synthesis-only"):

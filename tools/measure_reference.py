@@ -64,13 +64,52 @@ def install_runtime_stubs():
     tv.utils = sys.modules["torchvision.utils"]
     tv.utils.save_image = lambda out, path: None  # measurement: don't write
 
-    def _no_kornia(*a, **kw):  # color transfer configs are not measured here
-        raise RuntimeError("kornia is unavailable; measure non-color configs")
+    # WORKING torch port of kornia's HLS conversions (NCHW, H in radians,
+    # L/S in [0,1] — the same colorsys-equivalent formulas as
+    # optimaltextures_tpu/ops/colors.py, which are colorsys-tested), so the
+    # color-transfer configs 4 and 5 measure end-to-end instead of raising
+    # (VERDICT r3 next-step #3; reference call sites optex.py:124-138).
+    two_pi = 2.0 * np.pi
+
+    def rgb_to_hls(image):
+        r, g, b = image[:, 0], image[:, 1], image[:, 2]
+        maxc = torch.maximum(torch.maximum(r, g), b)
+        minc = torch.minimum(torch.minimum(r, g), b)
+        l = (maxc + minc) / 2.0
+        delta = maxc - minc
+        denom = (1.0 - (2.0 * l - 1.0).abs()).clamp_min(1e-8)
+        s = torch.where(delta > 0, delta / denom, torch.zeros_like(delta))
+        safe = torch.where(delta > 0, delta, torch.ones_like(delta))
+        rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+        h = torch.where(maxc == r, bc - gc,
+                        torch.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+        h = torch.where(delta > 0, (h / 6.0) % 1.0,
+                        torch.zeros_like(h)) * two_pi
+        return torch.stack([h, l, s], dim=1)
+
+    def hls_to_rgb(hls):
+        h = (hls[:, 0] / two_pi) % 1.0
+        l, s = hls[:, 1], hls[:, 2]
+        m2 = torch.where(l <= 0.5, l * (1.0 + s), l + s - l * s)
+        m1 = 2.0 * l - m2
+
+        def channel(hue):
+            hue = hue % 1.0
+            return torch.where(
+                hue < 1.0 / 6.0, m1 + (m2 - m1) * hue * 6.0,
+                torch.where(hue < 0.5, m2,
+                            torch.where(hue < 2.0 / 3.0,
+                                        m1 + (m2 - m1) * (2.0 / 3.0 - hue) * 6.0,
+                                        m1)))
+
+        return torch.stack([channel(h + 1.0 / 3.0), channel(h),
+                            channel(h - 1.0 / 3.0)], dim=1)
 
     k = types.ModuleType("kornia")
     kc = types.ModuleType("kornia.color")
     kh = types.ModuleType("kornia.color.hls")
-    kh.rgb_to_hls = kh.hls_to_rgb = _no_kornia
+    kh.rgb_to_hls = rgb_to_hls
+    kh.hls_to_rgb = hls_to_rgb
     kc.hls = kh
     k.color = kc
     for n, m in [("kornia", k), ("kornia.color", kc),
@@ -133,6 +172,14 @@ CONFIGS = {
     3: dict(name="mixing_512", size=512,
             style=[f"{REF}/style/zebra.jpg", f"{REF}/style/pattern-small.jpg"],
             content=None, kw=dict(mixing_alpha=0.5)),
+    4: dict(name="color_opt_1024", size=1024,
+            style=[f"{REF}/style/green-paint-large.jpg"],
+            content=f"{REF}/content/city.jpg",
+            kw=dict(color_transfer="opt")),
+    5: dict(name="highres_2048_lum", size=2048,
+            style=[f"{REF}/style/green-paint-large.jpg"],
+            content=f"{REF}/content/city.jpg",
+            kw=dict(style_scale=0.5, color_transfer="lum")),
 }
 
 
@@ -164,7 +211,8 @@ def main():
     for cid in args.configs:
         spec = CONFIGS[cid]
         torch.manual_seed(0)
-        styles = ref_util.load_styles(spec["style"], spec["size"], 1.0)
+        styles = ref_util.load_styles(spec["style"], spec["size"],
+                                      spec["kw"].get("style_scale", 1.0))
         content = ref_util.maybe_load_content(spec.get("content"),
                                               spec["size"])
         model = build_model(ref_optex, ref_vgg, spec["size"], args.iters,
