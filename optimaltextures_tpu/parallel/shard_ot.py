@@ -242,33 +242,37 @@ def sharded_transport_loop_axes(key, feature, style_mu, style_cov_raw,
 
     use_prop = ((cov_prop if cov_prop is not None else True)
                 and transport.cov_propagation_enabled())
-    if moment_mode and content_feature is None and use_prop:
-        # covariance-propagated loop (see transport.transport_loop): the
-        # joint covariance is psum'd ONCE, then propagated as M^T cov M —
-        # every iteration after that is collective-free (the per-iteration
-        # psum of the sample Gram disappears)
+    if moment_mode and use_prop:
+        # Composed closed-form path (see transport.compose_moment_chain):
+        # the joint statistics are psum'd ONCE, the whole stage's iterations
+        # fold into one affine map via a replicated C x C scan (identical
+        # stats + rotations on every shard -> identical map, no broadcast),
+        # and each shard applies it to its local samples with ONE GEMM.
+        # Collective-free after the initial psums; the per-iteration sample
+        # GEMM of the old loop disappears entirely.
         mu0, _, cov0 = moments(feature)
-        # mu0 can be shard-varying (per-image local means); the carry's type
-        # must stay varying across iterations, so derive mu_s from it
-        mu_s = mu0 * 0.0 + style_mu
-
-        def body_prop(i, carry):
-            feat, mu, cov = carry
-            rot = rotations[i]
-            cov_t_rot = rot.T @ (cov @ rot)
-            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
-                                               1.0)
-            m = rot @ (a.T @ rot.T)
-            b, h, w, _ = feat.shape
-            xc = (feat - mu).reshape(-1, c)
-            feat = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c) + mu_s
-            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
-                             precision=HIGHEST)
-            return feat, mu_s, cov
-
-        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
-                                       (feature, mu0, cov0))
-        return feat
+        b, h, w, _ = feature.shape
+        # mu0 can be shard-varying (per-image local means) — the composed
+        # bias stays per-image the same way; derive mu_s with its shape
+        if content_feature is not None and content_strength != 0.0:
+            mu_cf, _, cov_cf = moments(content_feature)
+            fc = (feature - mu0).reshape(-1, c)
+            cc = (content_feature - mu_cf).reshape(-1, c)
+            cross_gram = jax.lax.psum(
+                jnp.matmul(fc.T, cc, precision=HIGHEST), gram_axes)
+            cross0 = cross_gram / (fc.shape[0] * jax.lax.psum(1, gram_axes))
+            A, Bc, bias = transport.compose_moment_chain(
+                rotations, sfactors, mu0, cov0, style_mu, mode, 1.0,
+                content_strength, cross0, cov_cf, mu_cf)
+            out = (jnp.matmul(feature.reshape(-1, c), A, precision=HIGHEST)
+                   + jnp.matmul(content_feature.reshape(-1, c), Bc,
+                                precision=HIGHEST)).reshape(b, h, w, c)
+            return out + bias
+        A, _, bias = transport.compose_moment_chain(
+            rotations, sfactors, mu0, cov0, style_mu, mode, 1.0)
+        out = jnp.matmul(feature.reshape(-1, c), A,
+                         precision=HIGHEST).reshape(b, h, w, c)
+        return out + bias
 
     def body(i, feat):
         rot = rotations[i]

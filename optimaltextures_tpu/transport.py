@@ -197,6 +197,97 @@ def choose_k(singular_values) -> int:
     return max(k, 1)
 
 
+def compose_moment_chain(rotations: jnp.ndarray, sfactors: jnp.ndarray,
+                         mu0: jnp.ndarray, cov0: jnp.ndarray,
+                         mu_s: jnp.ndarray, mode: str, eps: float,
+                         content_strength: float = 0.0,
+                         cross0: Optional[jnp.ndarray] = None,
+                         content_cov: Optional[jnp.ndarray] = None,
+                         content_mu: Optional[jnp.ndarray] = None):
+    """Fold a whole stage's moment-mode OT iterations (+ the optional content
+    pull) into ONE affine map  ``out = feat0 @ A (+ content @ B) + bias``.
+
+    Every moment-mode iteration is affine in the samples —
+    ``f -> (f - mu_i) @ m_i + mu_s`` (rotate/match/unrotate folded into the
+    C x C operator ``m_i``, see :func:`_moment_step_with_factor`) — and the
+    reference's content pull ``f -> f + s*(cf - f)`` (optex.py:115-117) is
+    affine in ``(f, cf)``. Crucially ``m_i`` depends on the CURRENT feature
+    cloud only through its mean/covariance, which themselves propagate in
+    closed form through both maps:
+
+    * OT step:   mu' = mu_s,  cov' = m^T cov m,  X' = m^T X
+    * pull:      mu' = (1-s) mu + s mu_cf,
+                 cov' = (1-s)^2 cov + (1-s) s (X' + X'^T) + s^2 cov_cf,
+                 X'  = (1-s) X + s cov_cf
+      (``X = Cov(f, cf)``, the pooled per-image-centered cross-covariance —
+      the only extra state content stages need.)
+
+    So the n-iteration sequential chain collapses to a C x C ``lax.scan``
+    (every operand is C x C or (B, 1, 1, C)) and the big (B*H*W, C) sample
+    buffer is touched ONCE at the end instead of once per iteration. In
+    exact arithmetic the result is identical to the iterative loop (the
+    r4 saturation trace showed the iterative loops at ~0.7 TF/s taking 32%
+    of device time — pure latency, which this removes); only f32 rounding
+    differs, bounded by the same argument as cov propagation itself and
+    regression-tested against the per-iteration recompute oracle.
+
+    Returns ``(A, B, bias)``; ``B`` is None when there is no content term.
+    ``bias`` is (B, 1, 1, C) (per-image biases — per-image means are part of
+    the reference semantics, histmatch.py:44).
+    """
+    c = cov0.shape[-1]
+    s = float(content_strength)
+    has_content = cross0 is not None and s != 0.0
+    eye = jnp.eye(c, dtype=cov0.dtype)
+    # under shard_map the scan carry's varying-axes types must be invariant
+    # across iterations: seed every replicated init from cov0/mu0 so it
+    # inherits their varying axes (EP shards carry per-style stats)
+    eye0 = eye + 0.0 * cov0
+    zeros_c = 0.0 * cov0
+    zeros_b = jnp.zeros_like(mu0)
+
+    def step(carry, inputs):
+        if has_content:
+            A, Bc, bias, mu, cov, X = carry
+        else:
+            A, bias, mu, cov = carry
+        rot, sfac = inputs
+        cov_rot = jnp.matmul(rot.T, jnp.matmul(cov, rot, precision=HIGHEST),
+                             precision=HIGHEST)
+        a = histmatch.moment_transform_pre(cov_rot, sfac, mode, eps)
+        m = jnp.matmul(rot, jnp.matmul(a.T, rot.T, precision=HIGHEST),
+                       precision=HIGHEST)
+        # OT step: f -> f @ m + (mu_s - mu @ m)
+        A = jnp.matmul(A, m, precision=HIGHEST)
+        bias = (jnp.matmul(bias, m, precision=HIGHEST)
+                + (mu_s - jnp.matmul(mu, m, precision=HIGHEST)))
+        mu = zeros_b + mu_s
+        cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
+                         precision=HIGHEST)
+        if not has_content:
+            return (A, bias, mu, cov), None
+        X = jnp.matmul(m.T, X, precision=HIGHEST)
+        Bc = jnp.matmul(Bc, m, precision=HIGHEST)
+        # content pull: f -> (1-s) f + s cf
+        A = (1.0 - s) * A
+        Bc = (1.0 - s) * Bc + s * eye
+        bias = (1.0 - s) * bias
+        mu = (1.0 - s) * mu + s * content_mu
+        cov = ((1.0 - s) ** 2 * cov + (1.0 - s) * s * (X + X.T)
+               + s ** 2 * content_cov)
+        X = (1.0 - s) * X + s * content_cov
+        return (A, Bc, bias, mu, cov, X), None
+
+    bias0 = zeros_b + 0.0 * mu_s
+    if has_content:
+        init = (eye0, zeros_c, bias0, mu0 + 0.0 * mu_s, cov0, cross0)
+        (A, Bc, bias, *_), _ = jax.lax.scan(step, init, (rotations, sfactors))
+        return A, Bc, bias
+    init = (eye0, bias0, mu0 + 0.0 * mu_s, cov0)
+    (A, bias, *_), _ = jax.lax.scan(step, init, (rotations, sfactors))
+    return A, None, bias
+
+
 def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
                    n_iters: int, mode: str,
                    content_feature: Optional[jnp.ndarray] = None,
@@ -241,36 +332,32 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
 
     use_prop = ((cov_prop if cov_prop is not None else True)
                 and cov_propagation_enabled())
-    if moment_mode and content_feature is None and use_prop:
-        # Covariance-propagated fast path: after a moment step
-        # out = (x - mu_t) @ M + mu_s, the new statistics are known EXACTLY —
-        # mu = mu_s and cov = M^T cov M (the transform is affine) — so the
-        # per-iteration (B*H*W, C) covariance GEMM collapses to two C x C
-        # matmuls. One sample-sized GEMM per iteration instead of two; in
-        # exact arithmetic identical to recomputing from the data (the
-        # content pull breaks the closed form, so that path recomputes).
+    if moment_mode and use_prop:
+        # Composed closed-form path: the whole stage's iterations fold into
+        # one affine map (see compose_moment_chain) — a tiny C x C scan plus
+        # ONE (or two, with content) sample-sized GEMMs, instead of one
+        # sample GEMM per sequential iteration. cov_propagation=False /
+        # OPTEX_NO_COV_PROP restores the per-iteration recompute loop below
+        # for A/B.
         mu0, cov0 = histmatch.moment_stats(feature)
-        mu_s = jnp.broadcast_to(stats.mu, mu0.shape)
-
-        def body_prop(i, carry):
-            feat, mu, cov = carry
-            rot = rotations[i]
-            cov_t_rot = jnp.matmul(rot.T, jnp.matmul(cov, rot, precision=HIGHEST),
-                                   precision=HIGHEST)
-            a = histmatch.moment_transform_pre(cov_t_rot, sfactors[i], mode,
-                                               eps)
-            m = jnp.matmul(rot, jnp.matmul(a.T, rot.T, precision=HIGHEST),
-                           precision=HIGHEST)
-            b, h, w, _ = feat.shape
-            xc = (feat - mu).reshape(-1, c)
-            feat = jnp.matmul(xc, m, precision=HIGHEST).reshape(b, h, w, c) + mu_s
-            cov = jnp.matmul(m.T, jnp.matmul(cov, m, precision=HIGHEST),
-                             precision=HIGHEST)
-            return feat, mu_s, cov
-
-        feat, _, _ = jax.lax.fori_loop(0, n_iters, body_prop,
-                                       (feature, mu0, cov0))
-        return feat
+        b, h, w, _ = feature.shape
+        if content_feature is not None and content_strength != 0.0:
+            mu_cf, cov_cf = histmatch.moment_stats(content_feature)
+            fc = (feature - mu0).reshape(-1, c)
+            cc = (content_feature - mu_cf).reshape(-1, c)
+            cross0 = jnp.matmul(fc.T, cc, precision=HIGHEST) / fc.shape[0]
+            A, Bc, bias = compose_moment_chain(
+                rotations, sfactors, mu0, cov0, stats.mu, mode, eps,
+                content_strength, cross0, cov_cf, mu_cf)
+            out = (jnp.matmul(feature.reshape(-1, c), A, precision=HIGHEST)
+                   + jnp.matmul(content_feature.reshape(-1, c), Bc,
+                                precision=HIGHEST)).reshape(b, h, w, c)
+            return out + bias
+        A, _, bias = compose_moment_chain(rotations, sfactors, mu0, cov0,
+                                          stats.mu, mode, eps)
+        out = jnp.matmul(feature.reshape(-1, c), A,
+                         precision=HIGHEST).reshape(b, h, w, c)
+        return out + bias
 
     def body(i, feat):
         rot = rotations[i]

@@ -9,9 +9,11 @@ Counted:
   decode), with exact ceil-mode pool / nearest-up size tracking;
 * style-prep conv stacks (one multi-tap encode per DISTINCT prep — gate-skip
   passes share one, mirroring core.run) and the per-depth PCA Gram GEMM;
-* the OT loop: per iteration the two sample-sized GEMMs (2 * 2*N*k^2), the
-  covariance congruences + transform solve (~14 k^3), and the stage's
-  batched polar rotation sampling (2 * _POLAR_ITERS * 2*k^3 per rotation);
+* the OT stage (composed execution, r4): the initial sample Gram + the ONE
+  final apply GEMM (2 * 2*N*k^2 total), per-iteration k x k work (~22 k^3:
+  congruences + transform solve + A/bias composition + cov propagation),
+  and the stage's batched polar rotation sampling
+  (2 * _POLAR_ITERS * 2*k^3 per rotation);
 * PCA project/unproject GEMMs per stage (2 * 2*N*C*k).
 
 Omitted (small at 512px defaults): eigh of the C x C Gram, resizes,
@@ -46,15 +48,24 @@ def _feat_hw(h: int, w: int, depth: int):
 
 
 def transport_loop_flops(n_samples: int, k: int, n_iters: int) -> float:
-    """Moment-mode OT loop (covariance-propagated): one initial sample Gram,
-    then per iteration ONE sample-sized apply GEMM + k x k ops (congruences +
-    transform + fold + the M^T cov M propagation), plus rotations."""
+    """Moment-mode OT stage, composed closed-form execution (r4,
+    transport.compose_moment_chain): one initial sample Gram, ONE final
+    apply GEMM, and per iteration only k x k work — congruences + chol +
+    solve + fold + the A/bias accumulation + the M^T cov M propagation —
+    plus the stage's batched polar rotation sampling.
+
+    NOTE the model tracks the EXECUTED program, so the r4 composition
+    (which removed the per-iteration sample-sized apply GEMM — an
+    ALGORITHMIC cut of most of the workload's nominal FLOPs) lowers
+    analytic_tflops and the MFU figure while raising img/s; compare MFU
+    across rounds only within the same execution scheme (docs/PERF.md r4)."""
     init = 2.0 * n_samples * k * k               # initial pastiche Gram
-    per_iter = 2.0 * n_samples * k * k           # apply GEMM
-    per_iter += 18.0 * k ** 3                    # congruences + chol + solve
-    #                                              + fold + cov propagation
+    apply_once = 2.0 * n_samples * k * k         # the ONE composed apply
+    per_iter = 22.0 * k ** 3                     # congruences + chol + solve
+    #                                              + fold + A/bias compose
+    #                                              + cov propagation
     rotations = n_iters * (2.0 * _POLAR_ITERS * 2.0 * k ** 3)
-    return init + n_iters * per_iter + rotations
+    return init + apply_once + n_iters * per_iter + rotations
 
 
 def run_flops(synth, pastiche_hw, style_hws, ks_per_pass) -> float:

@@ -197,3 +197,48 @@ def test_covariance_propagation_matches_recompute(mode, rng):
     _, cov_oracle = histmatch.moment_stats(jnp.asarray(np.asarray(oracle)))
     np.testing.assert_allclose(np.asarray(cov_got), np.asarray(cov_oracle),
                                rtol=0, atol=2e-3)
+
+
+@pytest.mark.parametrize("mode", ["chol", "pca", "sym"])
+def test_composed_chain_matches_recompute_with_content(mode, rng):
+    """The composed closed-form path (compose_moment_chain: cross-covariance
+    propagated through OT step + content pull) must match the per-iteration
+    recompute loop with the SAME rotation stream — the composition is exact
+    in exact arithmetic; only f32 rounding differs."""
+    from optimaltextures_tpu.ops.rotation import stage_rotations
+
+    key = jax.random.key(21)
+    n_iters = 16
+    s = 0.25
+    feat = jnp.asarray(rng.normal(1.0, 2.0, (2, 12, 12, 8)).astype(np.float32))
+    content = jnp.asarray(rng.normal(0.5, 1.0, (2, 12, 12, 8)).astype(np.float32))
+    style = jnp.asarray(rng.normal(-0.5, 1.5, (1, 10, 10, 8)).astype(np.float32))
+    stats = transport.style_stats(style, need_samples=False)
+
+    got = np.asarray(transport.transport_loop(
+        key, feat, stats, n_iters, mode,
+        content_feature=content, content_strength=s))
+
+    rotations = stage_rotations(key, n_iters, 8)
+    oracle = feat
+    for i in range(n_iters):
+        oracle = transport._moment_step_with_rot(rotations[i], oracle, stats,
+                                                 mode, 1.0)
+        oracle = oracle + s * (content - oracle)
+    np.testing.assert_allclose(got, np.asarray(oracle), rtol=5e-3, atol=5e-3)
+
+
+def test_composed_chain_single_iteration_exactness(rng):
+    """n_iters=1 composed equals the direct single step (no composition
+    error at all — catches bias/order mistakes in the scan body)."""
+    key = jax.random.key(22)
+    feat = jnp.asarray(rng.normal(0, 2.0, (1, 10, 10, 6)).astype(np.float32))
+    style = jnp.asarray(rng.normal(1.0, 0.5, (1, 9, 9, 6)).astype(np.float32))
+    stats = transport.style_stats(style, need_samples=False)
+    from optimaltextures_tpu.ops.rotation import stage_rotations
+
+    got = np.asarray(transport.transport_loop(key, feat, stats, 1, "chol"))
+    rot = stage_rotations(key, 1, 6)[0]
+    want = np.asarray(transport._moment_step_with_rot(rot, feat, stats,
+                                                      "chol", 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
