@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference). With PCA, --pca_bucket 0 (exact-k) is "
                         "forced to 32 — per-style ranks are ragged; the "
                         "bucketed math is still exact per style")
+    p.add_argument("--batch_chunk", type=int, default=0,
+                   help="micro-batch the conv codec in chunks of this many "
+                        "images (peak HBM scales with the chunk, not the "
+                        "batch — enables batches past the single-program "
+                        "capacity wall; moment modes, synthesis, "
+                        "single-device; 0 = off)")
     p.add_argument("--no_cov_prop", action="store_true",
                    help="disable covariance-propagated OT loops (recompute "
                         "statistics from data every iteration; A/B tool)")

@@ -92,6 +92,17 @@ class OptexConfig:
     # keys and the serving-pool signature; the OPTEX_NO_COV_PROP env var
     # still force-disables it for A/B tooling (ADVICE r2).
     cov_propagation: bool = True
+    # Micro-batch the conv codec: process the batch in chunks of this many
+    # images under lax.map inside the (still single) dispatched program, so
+    # peak HBM scales with the chunk instead of the batch — only the k-wide
+    # PCA-projected features (the smallest tensor in a stage) are held for
+    # the full batch, and the composed OT map is built from the exact joint
+    # statistics. 0 = off. Raises throughput past the batch-256 capacity
+    # wall (docs/PERF.md r4). Moment modes with cov_propagation, synthesis,
+    # single-device only (content runs are single-image; cdf/sort iterate
+    # over the full sample cloud; the sharded paths shard the batch
+    # instead).
+    batch_chunk: int = 0
     # Round the PCA rank k UP to a multiple of this bucket (0 = exact k).
     # Keeps program shapes stable across styles (compile-cache friendly);
     # mathematically identical to exact-k: eigvecs are zero-padded and
@@ -141,6 +152,29 @@ class OptexConfig:
             raise ValueError(f"conv_dtype must be float32|bfloat16, got {self.conv_dtype!r}")
         if self.pca_bucket < 0:
             raise ValueError("pca_bucket must be >= 0")
+        if self.batch_chunk < 0:
+            raise ValueError("batch_chunk must be >= 0")
+        if self.batch_chunk > 0:
+            if self.hist_mode in ("cdf", "sort"):
+                raise ValueError(
+                    "batch_chunk needs a moment hist_mode (chol|pca|sym): "
+                    "cdf/sort iterate over the full sample cloud and cannot "
+                    "be chunked")
+            if not self.cov_propagation:
+                raise ValueError("batch_chunk requires cov_propagation (the "
+                                 "chunked path applies the composed stage "
+                                 "map)")
+            if self.batch % self.batch_chunk:
+                raise ValueError(
+                    f"batch {self.batch} not divisible by batch_chunk "
+                    f"{self.batch_chunk}")
+            if self.num_devices > 1 or self.spatial_devices > 1:
+                raise ValueError("batch_chunk is single-device only (the "
+                                 "sharded paths shard the batch across "
+                                 "chips instead)")
+            if self.content is not None:
+                raise ValueError("batch_chunk applies to synthesis only "
+                                 "(content runs are single-image)")
         if self.pca_traced_k and self.pca_bucket:
             raise ValueError("pca_traced_k runs at the full channel width; "
                              "pca_bucket does not apply (set one, not both)")

@@ -279,6 +279,100 @@ _run_stages_jit_nodonate = partial(jax.jit,
                                    static_argnames=_RUN_STATICS)(_run_stages_impl)
 
 
+def _pass_stages_chunked_impl(enc_params, dec_params, pastiche, targets, key,
+                              *, depths, iters, mode: str, pca_flags,
+                              n_chunks: int, pad_mode: str = "reflect",
+                              resize_to=None, resize_circular: bool = False):
+    """One pass with the batch micro-batched through the conv stacks.
+
+    The batch-256 512px program OOMs on one chip because the codec's
+    activation buffers scale with the FULL batch (relu1_1 alone is
+    256x512x512x64 bf16 = 8.6 GB — the r4 saturation study's capacity wall,
+    docs/PERF.md). The composed-transport path makes chunking natural: the
+    only cross-image coupling in a stage is the joint (mu, cov) of the
+    PROJECTED features (k-wide f32 — the smallest tensor in the stage), so
+
+        1. encode + PCA-project chunk-by-chunk under ``lax.map`` (one
+           chunk's conv intermediates live at a time), keeping only the
+           k-wide projected features for the whole batch;
+        2. build the stage's composed affine map from the joint moments
+           (transport.stage_affine_map — C x C work, batch-independent);
+        3. apply + unproject + decode chunk-by-chunk under a second map.
+
+    Identical math to :func:`_pass_stages_impl` (same rotation stream, same
+    f32 feature values, same reductions — equality-tested); moment modes
+    with cov_propagation only (cdf/sort iterate over the full sample cloud
+    by construction), synthesis only (content runs are single-image).
+    """
+    if resize_to is not None:
+        pastiche = resize_nhwc(pastiche, resize_to, circular=resize_circular)
+    conv_dtype = enc_params[0][0][0].dtype
+    pastiche = pastiche.astype(conv_dtype)
+    b_total = pastiche.shape[0]
+    for i, d in enumerate(depths):
+        tgt = targets[i]
+
+        def enc_chunk(img, _i=i, _d=d):
+            feat = encode(enc_params[_i], _d, img,
+                          pad_mode).astype(jnp.float32)
+            if pca_flags[_i]:
+                feat = jnp.matmul(feat, targets[_i].eigvecs,
+                                  precision=jax.lax.Precision.HIGHEST)
+            return feat
+
+        chunks = pastiche.reshape(n_chunks, b_total // n_chunks,
+                                  *pastiche.shape[1:])
+        feats = jax.lax.map(enc_chunk, chunks)
+        nc, bc, h, w, c = feats.shape
+        mu0, cov0 = histmatch.moment_stats(feats.reshape(b_total, h, w, c))
+        A, bias = transport.stage_affine_map(
+            jax.random.fold_in(key, i), mu0, cov0, tgt.stats, iters[i],
+            mode, k_mask=tgt.k_mask)
+        bias_chunks = bias.reshape(nc, bc, 1, 1, c)
+
+        def dec_chunk(args, _i=i, _d=d):
+            f, bias_c = args
+            out = jnp.matmul(f.reshape(-1, f.shape[-1]), A,
+                             precision=jax.lax.Precision.HIGHEST
+                             ).reshape(f.shape) + bias_c
+            if pca_flags[_i]:
+                out = jnp.matmul(out, targets[_i].eigvecs.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+            return decode(dec_params[_i], _d, out.astype(conv_dtype),
+                          pad_mode)
+
+        out_chunks = jax.lax.map(dec_chunk, (feats, bias_chunks))
+        pastiche = out_chunks.reshape(b_total, *out_chunks.shape[2:])
+    return pastiche.astype(jnp.float32)
+
+
+def _run_stages_chunked_impl(enc_params, dec_params, pastiche, targets_all,
+                             run_key, *, depths, plans, mode: str,
+                             pca_flags_all, n_chunks: int,
+                             pad_mode: str = "reflect",
+                             resize_circular: bool = False):
+    """The whole run's pass chain, batch-chunked (see
+    :func:`_pass_stages_chunked_impl`) — still ONE dispatched program."""
+    for p, (resize_to, iters) in enumerate(plans):
+        pastiche = _pass_stages_chunked_impl(
+            enc_params, dec_params, pastiche, targets_all[p],
+            jax.random.fold_in(run_key, p),
+            depths=depths, iters=iters, mode=mode,
+            pca_flags=pca_flags_all[p], n_chunks=n_chunks,
+            pad_mode=pad_mode, resize_to=resize_to,
+            resize_circular=resize_circular)
+    return pastiche
+
+
+_RUN_CHUNKED_STATICS = ("depths", "plans", "mode", "pca_flags_all",
+                        "n_chunks", "pad_mode", "resize_circular")
+_run_stages_chunked_jit = partial(
+    jax.jit, static_argnames=_RUN_CHUNKED_STATICS,
+    donate_argnums=(2,))(_run_stages_chunked_impl)
+_run_stages_chunked_jit_nodonate = partial(
+    jax.jit, static_argnames=_RUN_CHUNKED_STATICS)(_run_stages_chunked_impl)
+
+
 @partial(jax.jit, static_argnames=("mode", "alpha"))
 def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
     """Blend two same-shape style feature maps with a binary spatial mask and
@@ -858,19 +952,44 @@ class Synthesizer:
             for (_, rs, cs) in plan:
                 if rs:
                     final_hw = tuple(cs)
-            run_fn = (_run_stages_jit
-                      if final_hw == tuple(pastiche.shape[1:3])
-                      else _run_stages_jit_nodonate)
-            pastiche = run_fn(
-                enc_all, dec_all, pastiche,
-                tuple(t for (t, *_) in per_pass), run_key,
-                depths=depths, plans=plans, mode=cfg.hist_mode,
-                strengths_all=tuple(s for (_, s, *_) in per_pass),
-                pca_flags_all=tuple(
-                    tuple(t.eigvecs is not None for t in adj)
-                    for (adj, *_) in per_pass),
-                use_pallas=use_pallas, pad_mode=pad_mode,
-                resize_circular=cfg.tileable, cov_prop=cfg.cov_propagation)
+            donate = final_hw == tuple(pastiche.shape[1:3])
+            pca_flags_all = tuple(
+                tuple(t.eigvecs is not None for t in adj)
+                for (adj, *_) in per_pass)
+            # batch_chunk: micro-batch the codec through lax.map so peak HBM
+            # scales with the chunk, not the batch (breaks the batch-256
+            # capacity wall — see _pass_stages_chunked_impl). Content runs
+            # are single-image and cdf/sort iterate over the full sample
+            # cloud, so those fall back to the monolithic program.
+            use_chunked = (
+                cfg.batch_chunk > 0 and pastiche.shape[0] > cfg.batch_chunk
+                and pastiche.shape[0] % cfg.batch_chunk == 0
+                and content is None
+                and cfg.hist_mode not in ("cdf", "sort")
+                and cfg.cov_propagation
+                and transport.cov_propagation_enabled())
+            if use_chunked:
+                run_fn = (_run_stages_chunked_jit if donate
+                          else _run_stages_chunked_jit_nodonate)
+                pastiche = run_fn(
+                    enc_all, dec_all, pastiche,
+                    tuple(t for (t, *_) in per_pass), run_key,
+                    depths=depths, plans=plans, mode=cfg.hist_mode,
+                    pca_flags_all=pca_flags_all,
+                    n_chunks=pastiche.shape[0] // cfg.batch_chunk,
+                    pad_mode=pad_mode, resize_circular=cfg.tileable)
+            else:
+                run_fn = (_run_stages_jit if donate
+                          else _run_stages_jit_nodonate)
+                pastiche = run_fn(
+                    enc_all, dec_all, pastiche,
+                    tuple(t for (t, *_) in per_pass), run_key,
+                    depths=depths, plans=plans, mode=cfg.hist_mode,
+                    strengths_all=tuple(s for (_, s, *_) in per_pass),
+                    pca_flags_all=pca_flags_all,
+                    use_pallas=use_pallas, pad_mode=pad_mode,
+                    resize_circular=cfg.tileable,
+                    cov_prop=cfg.cov_propagation)
         else:
             for (adj, strengths, iters, do_resize, cont_size,
                  pass_key) in per_pass:

@@ -288,6 +288,32 @@ def compose_moment_chain(rotations: jnp.ndarray, sfactors: jnp.ndarray,
     return A, None, bias
 
 
+def stage_affine_map(key: jax.Array, mu0: jnp.ndarray, cov0: jnp.ndarray,
+                     stats: StyleStats, n_iters: int, mode: str,
+                     eps: float = 1.0,
+                     k_mask: Optional[jnp.ndarray] = None):
+    """The whole stage's composed affine map from the INITIAL feature moments
+    alone: ``out = feat0 @ A + bias``.
+
+    This is :func:`transport_loop`'s composed no-content branch factored out
+    so callers that never materialize the full feature cloud in one buffer
+    (the batch-chunked execution path, core._pass_stages_chunked_impl) can
+    build the map from separately-accumulated joint statistics and apply it
+    chunk-by-chunk. Drawing from :func:`stage_rotations` with the same key
+    keeps the result identical to the monolithic path.
+    """
+    c = cov0.shape[-1]
+    if k_mask is not None:
+        rotations = stage_rotations_masked(key, n_iters, c, k_mask)
+    else:
+        rotations = stage_rotations(key, n_iters, c)
+    cov_s_rots = histmatch.style_congruence_batch(rotations, stats.cov_raw)
+    sfactors = histmatch.style_factor_batch(cov_s_rots, mode, eps)
+    A, _, bias = compose_moment_chain(rotations, sfactors, mu0, cov0,
+                                      stats.mu, mode, eps)
+    return A, bias
+
+
 def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
                    n_iters: int, mode: str,
                    content_feature: Optional[jnp.ndarray] = None,
@@ -312,16 +338,33 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
     if n_iters == 0:
         return feature
 
+    c = feature.shape[-1]
+    moment_mode = mode not in ("cdf", "sort")
+    use_prop = ((cov_prop if cov_prop is not None else True)
+                and cov_propagation_enabled())
+    if (moment_mode and use_prop
+            and (content_feature is None or content_strength == 0.0)):
+        # Composed closed-form path: the whole stage's iterations fold into
+        # one affine map (see compose_moment_chain) — a tiny C x C scan plus
+        # ONE sample-sized GEMM, instead of one sample GEMM per sequential
+        # iteration. cov_propagation=False / OPTEX_NO_COV_PROP restores the
+        # per-iteration recompute loop below for A/B.
+        mu0, cov0 = histmatch.moment_stats(feature)
+        b, h, w, _ = feature.shape
+        A, bias = stage_affine_map(key, mu0, cov0, stats, n_iters, mode, eps,
+                                   k_mask)
+        out = jnp.matmul(feature.reshape(-1, c), A,
+                         precision=HIGHEST).reshape(b, h, w, c)
+        return out + bias
+
     # ALL the stage's rotations from one batched Newton-Schulz polar
     # sampling — pure MXU matmuls, amortized across the whole stage (QR's
     # sequential Householder sweeps are latency-bound on TPU).
-    c = feature.shape[-1]
     if k_mask is not None:
         rotations = stage_rotations_masked(key, n_iters, c, k_mask)
     else:
         rotations = stage_rotations(key, n_iters, c)
 
-    moment_mode = mode not in ("cdf", "sort")
     if moment_mode:
         # the STYLE side of every iteration is carry-independent: batch the
         # congruence rotations AND the style decompositions (cholesky / NS
@@ -330,33 +373,21 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
         cov_s_rots = histmatch.style_congruence_batch(rotations, stats.cov_raw)
         sfactors = histmatch.style_factor_batch(cov_s_rots, mode, eps)
 
-    use_prop = ((cov_prop if cov_prop is not None else True)
-                and cov_propagation_enabled())
     if moment_mode and use_prop:
-        # Composed closed-form path: the whole stage's iterations fold into
-        # one affine map (see compose_moment_chain) — a tiny C x C scan plus
-        # ONE (or two, with content) sample-sized GEMMs, instead of one
-        # sample GEMM per sequential iteration. cov_propagation=False /
-        # OPTEX_NO_COV_PROP restores the per-iteration recompute loop below
-        # for A/B.
+        # composed path WITH the content pull (content stages are
+        # single-image — never chunked — so this branch stays inline)
         mu0, cov0 = histmatch.moment_stats(feature)
         b, h, w, _ = feature.shape
-        if content_feature is not None and content_strength != 0.0:
-            mu_cf, cov_cf = histmatch.moment_stats(content_feature)
-            fc = (feature - mu0).reshape(-1, c)
-            cc = (content_feature - mu_cf).reshape(-1, c)
-            cross0 = jnp.matmul(fc.T, cc, precision=HIGHEST) / fc.shape[0]
-            A, Bc, bias = compose_moment_chain(
-                rotations, sfactors, mu0, cov0, stats.mu, mode, eps,
-                content_strength, cross0, cov_cf, mu_cf)
-            out = (jnp.matmul(feature.reshape(-1, c), A, precision=HIGHEST)
-                   + jnp.matmul(content_feature.reshape(-1, c), Bc,
-                                precision=HIGHEST)).reshape(b, h, w, c)
-            return out + bias
-        A, _, bias = compose_moment_chain(rotations, sfactors, mu0, cov0,
-                                          stats.mu, mode, eps)
-        out = jnp.matmul(feature.reshape(-1, c), A,
-                         precision=HIGHEST).reshape(b, h, w, c)
+        mu_cf, cov_cf = histmatch.moment_stats(content_feature)
+        fc = (feature - mu0).reshape(-1, c)
+        cc = (content_feature - mu_cf).reshape(-1, c)
+        cross0 = jnp.matmul(fc.T, cc, precision=HIGHEST) / fc.shape[0]
+        A, Bc, bias = compose_moment_chain(
+            rotations, sfactors, mu0, cov0, stats.mu, mode, eps,
+            content_strength, cross0, cov_cf, mu_cf)
+        out = (jnp.matmul(feature.reshape(-1, c), A, precision=HIGHEST)
+               + jnp.matmul(content_feature.reshape(-1, c), Bc,
+                            precision=HIGHEST)).reshape(b, h, w, c)
         return out + bias
 
     def body(i, feat):

@@ -355,3 +355,66 @@ def test_pca_traced_k_equals_full_width_bucket():
         OptexConfig(**base, pca_traced_k=True, pca_bucket=16).validate()
     with pytest.raises(ValueError, match="needs PCA"):
         OptexConfig(**base, pca_traced_k=True, no_pca=True).validate()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(hist_mode="chol"),
+    dict(hist_mode="sym"),
+    dict(hist_mode="pca"),
+    dict(hist_mode="chol", no_pca=True),
+    dict(hist_mode="chol", pca_bucket=16),
+    dict(hist_mode="chol", pca_traced_k=True),
+    dict(hist_mode="chol", tileable=True),
+])
+def test_batch_chunked_run_equals_monolithic(kw):
+    """batch_chunk (r4): the micro-batched codec path must reproduce the
+    monolithic fused program — same rotation stream (stage_affine_map draws
+    from the same folded keys), same f32 feature values, same joint
+    statistics; only the codec's execution granularity differs."""
+    base = dict(size=64, passes=2, iters=8, depth=2, seed=11, batch=4,
+                style=[STYLE], conv_dtype="float32")
+    base.update(kw)
+    styles = [load(STYLE)]
+    noise = np.random.default_rng(17).uniform(
+        size=(4, 64, 64, 3)).astype(np.float32)
+
+    mono = np.asarray(core.Synthesizer(OptexConfig(**base))
+                      .run(jnp.asarray(noise), styles))
+    chunked = np.asarray(
+        core.Synthesizer(OptexConfig(**base, batch_chunk=2))
+        .run(jnp.asarray(noise), styles))
+    np.testing.assert_allclose(chunked, mono, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_chunked_multires_resize_pass():
+    """The chunked run must also chain multires resize passes (plan shapes
+    change mid-run)."""
+    base = dict(size=96, passes=3, iters=9, depth=2, seed=3, batch=4,
+                style=[STYLE])
+    styles = [imageio.load_image(STYLE, 96, oversize=False)]
+    noise = np.random.default_rng(4).uniform(
+        size=(4, 64, 64, 3)).astype(np.float32)
+    mono = np.asarray(core.Synthesizer(OptexConfig(**base))
+                      .run(jnp.asarray(noise), styles))
+    chunked = np.asarray(
+        core.Synthesizer(OptexConfig(**base, batch_chunk=2))
+        .run(jnp.asarray(noise), styles))
+    np.testing.assert_allclose(chunked, mono, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_chunk_validation():
+    base = dict(size=64, passes=1, iters=8, depth=2, batch=4, style=[STYLE])
+    with pytest.raises(ValueError, match="moment hist_mode"):
+        OptexConfig(**base, batch_chunk=2, hist_mode="cdf").validate()
+    with pytest.raises(ValueError, match="cov_propagation"):
+        OptexConfig(**base, batch_chunk=2, cov_propagation=False).validate()
+    with pytest.raises(ValueError, match="not divisible"):
+        OptexConfig(**base, batch_chunk=3).validate()
+    with pytest.raises(ValueError, match="single-device"):
+        OptexConfig(**base, batch_chunk=2, num_devices=2).validate()
+    with pytest.raises(ValueError, match="synthesis only"):
+        OptexConfig(**base, batch_chunk=2, content=CONTENT).validate()
+    with pytest.raises(ValueError, match=">= 0"):
+        OptexConfig(**base, batch_chunk=-1).validate()
+    # chunk >= batch silently runs the monolithic path (n_chunks == 1)
+    OptexConfig(**base, batch_chunk=4).validate()

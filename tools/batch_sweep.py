@@ -39,11 +39,15 @@ from optimaltextures_tpu.utils import flops, imageio
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def sweep(size, batches, depth, runs, conv_dtype="bfloat16", trace_dir=None):
+def sweep(size, batches, depth, runs, conv_dtype="bfloat16", trace_dir=None,
+          batch_chunk=0):
     style_path = "/root/reference/style/graffiti.jpg"
     styles = imageio.load_styles([style_path], size, 1.0)
     cfg = OptexConfig(size=size, style=[style_path], seed=0,
-                      conv_dtype=conv_dtype,
+                      conv_dtype=conv_dtype, batch_chunk=batch_chunk,
+                      # cfg.batch only gates validation here (run() chunks by
+                      # the actual noise batch); keep it chunk-divisible
+                      batch=max(batch_chunk, 1),
                       depth=None if depth == 3 else depth)
     bank = synthetic_bank(depth, dtype=jnp.dtype(conv_dtype)) \
         if depth > 3 else None
@@ -116,16 +120,23 @@ def main():
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--batch_chunk", type=int, default=0,
+                    help="micro-batch the codec (images per chunk; caps "
+                         "peak HBM so batches past the capacity wall fit)")
+    ap.add_argument("--skip_depth3", action="store_true")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
     out = {}
-    print("== depth 3 (real weights) ==", flush=True)
-    out["depth3"] = sweep(args.size, batches, 3, args.runs,
-                          trace_dir=args.trace)
+    if not args.skip_depth3:
+        print("== depth 3 (real weights) ==", flush=True)
+        out["depth3"] = sweep(args.size, batches, 3, args.runs,
+                              trace_dir=args.trace,
+                              batch_chunk=args.batch_chunk)
     if args.depth5:
         print("== depth 5 (synthetic bank) ==", flush=True)
-        out["depth5"] = sweep(args.size, batches, 5, args.runs)
+        out["depth5"] = sweep(args.size, batches, 5, args.runs,
+                              batch_chunk=args.batch_chunk)
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
