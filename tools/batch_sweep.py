@@ -56,10 +56,17 @@ def sweep(size, batches, depth, runs, conv_dtype="bfloat16", trace_dir=None,
 
     results = {}
     best_rate, best_batch = 0.0, None
+    noise = out = None
     for nb in batches:
-        noise = jax.random.uniform(jax.random.key(nb),
-                                   (nb, size, size, 3), dtype=jnp.float32)
+        # drop the previous point's buffers BEFORE allocating the next
+        # batch — a capacity sweep near the HBM wall OOMs on leftovers
+        # otherwise (the allocation itself goes inside the try for the
+        # same reason)
+        noise = out = None
         try:
+            noise = jax.random.uniform(jax.random.key(nb),
+                                       (nb, size, size, 3),
+                                       dtype=jnp.float32)
             synth.run(noise, styles).block_until_ready()   # compile
             synth.run(noise, styles).block_until_ready()   # settle
             walls = []
