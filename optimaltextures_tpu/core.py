@@ -186,14 +186,6 @@ def _concat_svals_jit(svals):
     return jnp.concatenate(svals)
 
 
-@partial(jax.jit, static_argnames=("need_samples",))
-def _restat_jit(sf, *, need_samples: bool):
-    """Recompute transport statistics after mixing."""
-    mu, cov = histmatch.moment_stats(sf)
-    samples = sf.reshape(-1, sf.shape[-1]) if need_samples else None
-    return transport.StyleStats(mu, cov, samples)
-
-
 def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
                       depths, iters, mode: str, strengths, pca_flags,
                       use_pallas=None, pad_mode: str = "reflect",
@@ -373,8 +365,7 @@ _run_stages_chunked_jit_nodonate = partial(
     jax.jit, static_argnames=_RUN_CHUNKED_STATICS)(_run_stages_chunked_impl)
 
 
-@partial(jax.jit, static_argnames=("mode", "alpha"))
-def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
+def _mix_pair_impl(a, b, mask, *, mode: str, alpha: float):
     """Blend two same-shape style feature maps with a binary spatial mask and
     cross-histogram matching (optex.py:193-206)."""
     atob = histmatch.hist_match(a, b, mode)
@@ -383,8 +374,11 @@ def _mix_pair_jit(a, b, mask, *, mode: str, alpha: float):
            (btoa * (1 - alpha) + b * alpha) * (1 - mask)
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def _mix_multi_jit(sfs, mask_onehot, weights, *, mode: str):
+_mix_pair_jit = partial(jax.jit,
+                        static_argnames=("mode", "alpha"))(_mix_pair_impl)
+
+
+def _mix_multi_impl(sfs, mask_onehot, weights, *, mode: str):
     """N-style mixing (extension beyond the reference's 2-style cap).
 
     Region i of the categorical mask shows
@@ -407,6 +401,53 @@ def _mix_multi_jit(sfs, mask_onehot, weights, *, mode: str):
                                     histmatch.hist_match(si, sfs[j], mode))
         out = out + fi * mask_onehot[..., i:i + 1]
     return out
+
+
+_mix_multi_jit = partial(jax.jit, static_argnames=("mode",))(_mix_multi_impl)
+
+
+def _mixed_stats(mixed, need_samples: bool):
+    mu, cov = histmatch.moment_stats(mixed)
+    samples = mixed.reshape(-1, mixed.shape[-1]) if need_samples else None
+    return transport.StyleStats(mu, cov, samples)
+
+
+@partial(jax.jit, static_argnames=("hw", "mode", "alpha", "need_samples"))
+def _mix_pass_pair_jit(sfs, mask_key, *, hw, mode: str, alpha: float,
+                       need_samples: bool):
+    """ALL depths' 2-style mix + restat — and the mask draw itself — in ONE
+    program per pass. The previous per-depth chain (mask resize ->
+    _mix_pair_jit -> _restat_jit) was ~9 dispatches per pass, and the
+    config-3 steady wall is PREP-dominated (~60% — docs/PERF.md r4): on this
+    host every dispatch pays a tunnel round trip, so mixing prep is fused
+    exactly like the spectra/stats programs. Same math, same PRNG bits
+    (threefry is identical eager vs traced)."""
+    u = jax.random.uniform(mask_key, hw)
+    mask = jnp.ceil(u - alpha)[None, :, :, None]
+    out = []
+    for sf in sfs:
+        m = resize_nearest_nhwc(mask, sf.shape[1:3])
+        mixed = _mix_pair_impl(sf[0:1], sf[1:2], m, mode=mode, alpha=alpha)
+        out.append(_mixed_stats(mixed, need_samples))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("hw", "n_styles", "mode", "need_samples"))
+def _mix_pass_multi_jit(sfs, mask_key, weights, *, hw, n_styles: int,
+                        mode: str, need_samples: bool):
+    """N-style variant of :func:`_mix_pass_pair_jit` (one fused program per
+    pass; weights stay traced so serving different weight vectors reuses one
+    compiled program)."""
+    regions = jax.random.categorical(mask_key, jnp.log(weights), shape=hw)
+    mask = jax.nn.one_hot(regions, n_styles, dtype=jnp.float32)[None]
+    out = []
+    for sf in sfs:
+        m = resize_nearest_nhwc(mask, sf.shape[1:3])
+        mixed = _mix_multi_impl(
+            tuple(sf[i:i + 1] for i in range(n_styles)), m, weights,
+            mode=mode)
+        out.append(_mixed_stats(mixed, need_samples))
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "use_pallas"))
@@ -709,34 +750,25 @@ class Synthesizer:
         # re-centering uses the PRE-mix means (optex.py:76 vs 97)
         if n_styles > 1:
             mask_pos = 1 if len(prepared) > 1 else 0
-            hw = prepared[mask_pos][0].shape[1:3]
+            hw = tuple(int(x) for x in prepared[mask_pos][0].shape[1:3])
             mask_key = jax.random.fold_in(pass_key, 7919)
+            sfs = tuple(sf for (sf, _, _, _) in prepared)
             if n_styles == 2 and cfg.mixing_weights is None:
                 # the reference's exact 2-style path (optex.py:97-101)
-                u = jax.random.uniform(mask_key, hw)
-                mask = jnp.ceil(u - cfg.mixing_alpha)[None, :, :, None]
-                mixer = lambda sf, m: _mix_pair_jit(
-                    sf[0:1], sf[1:2], m, mode=cfg.hist_mode,
-                    alpha=cfg.mixing_alpha)
+                stats_t = _mix_pass_pair_jit(
+                    sfs, mask_key, hw=hw, mode=cfg.hist_mode,
+                    alpha=cfg.mixing_alpha, need_samples=need_samples)
             else:
-                # N-style generalization (see _mix_multi_jit)
+                # N-style generalization (see _mix_multi_impl)
                 w = np.asarray(cfg.mixing_weights if cfg.mixing_weights
                                else [1.0] * n_styles, dtype=np.float64)
                 w_arr = jnp.asarray(w / w.sum(), jnp.float32)
-                regions = jax.random.categorical(
-                    mask_key, jnp.log(w_arr), shape=hw)
-                mask = jax.nn.one_hot(regions, n_styles,
-                                      dtype=jnp.float32)[None]
-                mixer = lambda sf, m: _mix_multi_jit(
-                    tuple(sf[i:i + 1] for i in range(n_styles)), m, w_arr,
-                    mode=cfg.hist_mode)
-            remixed = []
-            for (sf, eigvecs, stats, mean) in prepared:
-                m = resize_nearest_nhwc(mask, sf.shape[1:3])
-                sf = mixer(sf, m)
-                remixed.append((sf, eigvecs,
-                                _restat_jit(sf, need_samples=need_samples), mean))
-            prepared = remixed
+                stats_t = _mix_pass_multi_jit(
+                    sfs, mask_key, w_arr, hw=hw, n_styles=n_styles,
+                    mode=cfg.hist_mode, need_samples=need_samples)
+            prepared = [(None, eigvecs, st, mean)
+                        for st, (_, eigvecs, _, mean)
+                        in zip(stats_t, prepared)]
 
         return [(eigvecs, stats, mean) for (_, eigvecs, stats, mean) in prepared]
 
