@@ -97,11 +97,13 @@ class OptexConfig:
     # peak HBM scales with the chunk instead of the batch — only the k-wide
     # PCA-projected features (the smallest tensor in a stage) are held for
     # the full batch, and the composed OT map is built from the exact joint
-    # statistics. 0 = off. Raises throughput past the batch-256 capacity
-    # wall (docs/PERF.md r4). Moment modes with cov_propagation, synthesis,
-    # single-device only (content runs are single-image; cdf/sort iterate
-    # over the full sample cloud; the sharded paths shard the batch
-    # instead).
+    # statistics. 0 = off. Fits batches past the per-chip capacity wall
+    # (previously-OOM batch 256 at 512px runs) at a ~30% throughput cost —
+    # a capacity knob, not a speed path (docs/PERF.md r4). Moment modes
+    # with cov_propagation, synthesis only (content runs are single-image;
+    # cdf/sort iterate over the full sample cloud). Composes with
+    # num_devices (batch-DP): each chip micro-batches its LOCAL shard and
+    # the joint covariance still psums once per stage.
     batch_chunk: int = 0
     # Round the PCA rank k UP to a multiple of this bucket (0 = exact k).
     # Keeps program shapes stable across styles (compile-cache friendly);
@@ -168,10 +170,19 @@ class OptexConfig:
                 raise ValueError(
                     f"batch {self.batch} not divisible by batch_chunk "
                     f"{self.batch_chunk}")
-            if self.num_devices > 1 or self.spatial_devices > 1:
-                raise ValueError("batch_chunk is single-device only (the "
-                                 "sharded paths shard the batch across "
-                                 "chips instead)")
+            if self.spatial_devices > 1:
+                raise ValueError("batch_chunk shards the batch axis only; "
+                                 "it does not compose with spatial (H-axis) "
+                                 "sharding")
+            if self.num_devices > 1:
+                # DP x chunk composes (r4): each chip micro-batches its LOCAL
+                # shard, the joint covariance still psums once per stage
+                local = self.batch // self.num_devices
+                if local % self.batch_chunk:
+                    raise ValueError(
+                        f"per-device batch {local} (batch {self.batch} / "
+                        f"num_devices {self.num_devices}) not divisible by "
+                        f"batch_chunk {self.batch_chunk}")
             if self.content is not None:
                 raise ValueError("batch_chunk applies to synthesis only "
                                  "(content runs are single-image)")

@@ -560,20 +560,36 @@ class Synthesizer:
 
             self.space_mesh = make_mesh(cfg.spatial_devices, axis="space")
 
-    def _dp_pass(self, iters, strengths, pca_flags):
+    def _dp_pass(self, iters, strengths, pca_flags, n_chunks: int = 1):
         """Fused whole-pass DP program (one dispatch per pass, VERDICT r2
-        next-step #4), cached per (iters, strengths, pca_flags) tuple."""
+        next-step #4), cached per (iters, strengths, pca_flags, n_chunks).
+        ``n_chunks > 1`` = batch_chunk x DP: each chip micro-batches its
+        local shard's codec (see shard_ot._chunked_stage_local)."""
         from .parallel.shard_ot import make_sharded_pass
 
-        key = (iters, strengths, pca_flags)
+        key = (iters, strengths, pca_flags, n_chunks)
         if key not in self._dp_stages:
             self._dp_stages[key] = make_sharded_pass(
                 self.mesh, depths=tuple(self.layer_depths), iters=iters,
                 mode=self.cfg.hist_mode, strengths=strengths,
                 pca_flags=pca_flags,
                 pad_mode="wrap" if self.cfg.tileable else "reflect",
-                cov_prop=self.cfg.cov_propagation)
+                cov_prop=self.cfg.cov_propagation, n_chunks=n_chunks)
         return self._dp_stages[key]
+
+    def _dp_chunks(self, global_batch: int, has_content: bool) -> int:
+        """batch_chunk x DP gate — the DP mirror of run()'s single-device
+        ``use_chunked`` decision, on the per-device LOCAL batch."""
+        cfg = self.cfg
+        n_loc = global_batch // self.mesh.devices.size
+        if (cfg.batch_chunk > 0 and n_loc > cfg.batch_chunk
+                and n_loc % cfg.batch_chunk == 0
+                and not has_content
+                and cfg.hist_mode not in ("cdf", "sort")
+                and cfg.cov_propagation
+                and transport.cov_propagation_enabled()):
+            return n_loc // cfg.batch_chunk
+        return 1
 
     def _dp_shard(self, pastiche):
         from .parallel.mesh import batch_sharding
@@ -1043,7 +1059,10 @@ class Synthesizer:
                         stage = self._grid_pass(iters, strengths, pca_flags)
                         pastiche = self._grid_shard(pastiche)
                     elif self.mesh is not None:
-                        stage = self._dp_pass(iters, strengths, pca_flags)
+                        stage = self._dp_pass(
+                            iters, strengths, pca_flags,
+                            self._dp_chunks(pastiche.shape[0],
+                                            content is not None))
                         pastiche = self._dp_shard(pastiche)
                     else:
                         stage = self._sp_pass(iters, strengths, pca_flags)

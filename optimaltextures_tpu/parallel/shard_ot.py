@@ -316,9 +316,56 @@ def sharded_transport_loop(key, feature, style_mu, style_cov_raw, n_iters: int,
         content_strength=content_strength, k_mask=k_mask, cov_prop=cov_prop)
 
 
+def _chunked_stage_local(enc_p, dec_p, pastiche, style_mu, style_cov_raw,
+                         eigvecs, key, k_mask, *, depth: int, n_iters: int,
+                         mode: str, pca_flag: bool, n_chunks: int, axis: str,
+                         pad_mode: str, conv_dtype):
+    """One stage of the DP pass with the LOCAL batch shard micro-batched
+    through the conv codec (the shard_map body of batch_chunk x DP). Encode
+    + project chunk-by-chunk under ``lax.map`` so only one chunk's conv
+    intermediates live at a time, psum the joint (per-image-mean-centered)
+    covariance over the mesh ONCE, build the composed stage map from the
+    GLOBAL statistics (same rotations on every shard — identical map, no
+    broadcast), and apply + unproject + decode chunk-by-chunk. Exactly the
+    single-device chunked math (core._pass_stages_chunked_impl) with the
+    Gram/count reductions widened by a psum."""
+    b_loc = pastiche.shape[0]
+
+    def enc_chunk(img):
+        f = encode(enc_p, depth, img, pad_mode).astype(jnp.float32)
+        if pca_flag:
+            f = jnp.matmul(f, eigvecs, precision=HIGHEST)
+        return f
+
+    chunks = pastiche.reshape(n_chunks, b_loc // n_chunks, *pastiche.shape[1:])
+    feats = jax.lax.map(enc_chunk, chunks)
+    nc, bc, h, w, c = feats.shape
+    x = feats.reshape(b_loc, h, w, c)
+    mu0 = jnp.mean(x, axis=(1, 2), keepdims=True)   # per-image, shard-local
+    xc = (x - mu0).reshape(-1, c)
+    gram = jax.lax.psum(jnp.matmul(xc.T, xc, precision=HIGHEST), axis)
+    cov0 = gram / (xc.shape[0] * jax.lax.psum(1, axis))
+    A, bias = transport.stage_affine_map(
+        key, mu0, cov0, transport.StyleStats(style_mu, style_cov_raw, None),
+        n_iters, mode, k_mask=k_mask)
+    bias_chunks = bias.reshape(nc, bc, 1, 1, c)
+
+    def dec_chunk(args):
+        f, bias_c = args
+        out = jnp.matmul(f.reshape(-1, f.shape[-1]), A,
+                         precision=HIGHEST).reshape(f.shape) + bias_c
+        if pca_flag:
+            out = jnp.matmul(out, eigvecs.T, precision=HIGHEST)
+        return decode(dec_p, depth, out.astype(conv_dtype), pad_mode)
+
+    out_chunks = jax.lax.map(dec_chunk, (feats, bias_chunks))
+    return out_chunks.reshape(b_loc, *out_chunks.shape[2:])
+
+
 def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
                       pca_flags, axis: str = "data",
-                      pad_mode: str = "reflect", cov_prop=None):
+                      pad_mode: str = "reflect", cov_prop=None,
+                      n_chunks: int = 1):
     """ALL of a pass's layer stages in ONE shard_map program, mirroring the
     single-device ``core._pass_stages_impl``: per depth (deepest first)
     encode -> project -> sharded OT loop -> unproject -> decode, the decoded
@@ -333,6 +380,14 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
     batch-sharded and donated; everything else is replicated (batch-DP
     content is None by construction — the reference ignores --batch with
     content, optex.py:263).
+
+    ``n_chunks > 1`` composes DP with ``batch_chunk`` (the per-chip HBM
+    capacity knob, core._pass_stages_chunked_impl): each device micro-
+    batches its LOCAL batch shard through the conv codec under ``lax.map``
+    while the stage's joint covariance still psums ONCE over the mesh, so
+    the composed affine map stays exact across the GLOBAL batch. Moment
+    modes with cov_propagation and no content only (the config gate
+    enforces this).
     """
     shard = P(axis, None, None, None)
     rep = P()
@@ -342,6 +397,14 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
         conv_dtype = enc_list[0][0][0].dtype
         pastiche = pastiche.astype(conv_dtype)
         for i, d in enumerate(depths):
+            if n_chunks > 1:
+                pastiche = _chunked_stage_local(
+                    enc_list[i], dec_list[i], pastiche, mus[i], covs[i],
+                    eigvecs[i], jax.random.fold_in(key, i), k_masks[i],
+                    depth=d, n_iters=iters[i], mode=mode,
+                    pca_flag=pca_flags[i], n_chunks=n_chunks, axis=axis,
+                    pad_mode=pad_mode, conv_dtype=conv_dtype)
+                continue
             feat = encode(enc_list[i], d, pastiche, pad_mode)
             feat = feat.astype(jnp.float32)
             if pca_flags[i]:

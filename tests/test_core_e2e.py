@@ -410,8 +410,13 @@ def test_batch_chunk_validation():
         OptexConfig(**base, batch_chunk=2, cov_propagation=False).validate()
     with pytest.raises(ValueError, match="not divisible"):
         OptexConfig(**base, batch_chunk=3).validate()
-    with pytest.raises(ValueError, match="single-device"):
-        OptexConfig(**base, batch_chunk=2, num_devices=2).validate()
+    with pytest.raises(ValueError, match="spatial"):
+        OptexConfig(**base, batch_chunk=2, spatial_devices=2).validate()
+    with pytest.raises(ValueError, match="per-device batch"):
+        # global batch divides the chunk, the per-device LOCAL shard doesn't
+        OptexConfig(**base, batch_chunk=4, num_devices=2).validate()
+    # DP x chunk composes when the LOCAL shard is chunk-divisible (r4)
+    OptexConfig(**base, batch_chunk=2, num_devices=2).validate()
     with pytest.raises(ValueError, match="synthesis only"):
         OptexConfig(**base, batch_chunk=2, content=CONTENT).validate()
     with pytest.raises(ValueError, match=">= 0"):

@@ -115,6 +115,26 @@ def test_dp_e2e_matches_single_device(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_dp_batch_chunk_matches_single_device(rng):
+    """batch_chunk x DP (r4): each chip micro-batches its LOCAL shard's
+    codec while the joint covariance psums once, so the composed stage map
+    — and the output — must still equal the single-device monolithic run.
+    batch 8 over 4 devices, chunk 1 (2 chunks per local shard)."""
+    from optimaltextures_tpu import core
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.utils import imageio
+
+    style = imageio.load_image("/root/reference/style/graffiti.jpg", 64,
+                               oversize=False)
+    base = dict(size=64, passes=2, iters=8, depth=2, seed=11,
+                style=["/root/reference/style/graffiti.jpg"], batch=8)
+    out1, _ = core.synthesize(OptexConfig(**base), [style])
+    outc, _ = core.synthesize(
+        OptexConfig(**base, num_devices=4, batch_chunk=1), [style])
+    np.testing.assert_allclose(np.asarray(outc), np.asarray(out1),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_dp_e2e_cdf_mode(rng):
     """Sharded cdf matching (psum'd global histograms) equals single-device."""
     from optimaltextures_tpu import core
