@@ -289,20 +289,41 @@ def _run_locked(pool, cfg, styles, content, init, token):
     out = synth.run(noise, styles,
                     jnp.asarray(content) if content is not None else None,
                     key=run_key, styles_token=token)
-    batch = np.clip(np.asarray(out), 0.0, 1.0)
+    batch = _fetch_uint8(out)
     _maybe_export_pack(synth, token, n_styles=len(styles))
     return _encode_batch(batch)
 
 
+def _fetch_uint8(out):
+    """Quantize the run's float output to PNG-ready uint8 ON DEVICE, then
+    fetch — the device->host transfer is the dominant tail of a large
+    response through the remote runtime (2048px: 1.62 s f32 vs 0.54 s u8,
+    measured r4), and PNG encoding quantizes anyway. Same IEEE f32 ops as
+    the host formula in imageio.save_images (clip -> *255 + 0.5 ->
+    truncating cast), so the response bytes are unchanged."""
+    global _QUANT_JIT
+    if _QUANT_JIT is None:   # lazy: keep jax out of serve's import time
+        import jax
+        import jax.numpy as jnp
+
+        _QUANT_JIT = jax.jit(
+            lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5
+                       ).astype(jnp.uint8))
+    return np.asarray(_QUANT_JIT(out))
+
+
+_QUANT_JIT = None
+
+
 def _encode_batch(batch):
-    """(N, H, W, 3) floats -> ("image/png", bytes) for N == 1, else
+    """(N, H, W, 3) uint8 -> ("image/png", bytes) for N == 1, else
     ("application/json", {"images_b64": [...]})."""
     from PIL import Image
 
     pngs = []
     for arr in batch:
         buf = io.BytesIO()
-        Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(buf, "PNG")
+        Image.fromarray(arr).save(buf, "PNG")
         pngs.append(buf.getvalue())
     if len(pngs) == 1:
         return "image/png", pngs[0]
@@ -332,7 +353,7 @@ def _run_style_parallel_locked(pool, cfg, styles):
                              f"{cfg.num_devices}: pass one style per device")
         mesh = make_mesh(cfg.num_devices)
     out = synthesize_style_batch(cfg, styles, mesh, bank=synth.bank)
-    return _encode_batch(np.clip(np.asarray(out), 0.0, 1.0))
+    return _encode_batch(_fetch_uint8(out))
 
 
 # 8 styles + content + init as base64 PNGs comfortably fit (8 x ~8 MB
