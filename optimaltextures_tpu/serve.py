@@ -14,11 +14,17 @@ lock. See docs/SERVING.md for the production guide.
        "style_b64": ["<base64 png/jpg>", ...],   # 1-8 (3+ = N-style mixing)
        "content_b64": "<base64 png/jpg>",        # optional
        "init_b64": "<base64 png/jpg>",           # optional starting pastiche
-       "style_parallel": true}                   # optional: ONE texture per
+       "style_parallel": true,                   # optional: ONE texture per
                                                  # style (no mixing; EP path)
-    -> 200 image/png (the synthesized pastiche), or application/json with
-       every image base64-encoded when config.batch > 1 or style_parallel
-       with 2+ styles
+       "format": "png"}                          # optional: png (default) |
+                                                 # jpeg (quality 92, ~5x
+                                                 # faster host encode) | npy
+                                                 # (raw uint8 batch, zero
+                                                 # image encode)
+    -> 200 image/png|image/jpeg (the synthesized pastiche), application/json
+       with every image base64-encoded when config.batch > 1 or
+       style_parallel with 2+ styles, or application/octet-stream (.npy,
+       the whole (N, H, W, 3) uint8 batch) for format=npy
 
     GET /healthz -> {"status": "ok", "devices": [...], "cached": N,
                      "workers": W}
@@ -218,6 +224,10 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
             raise ValueError("batch > 1 with init_b64 produces identical "
                              "images; use batch=1")
 
+    fmt = payload.get("format", "png")
+    if fmt not in ("png", "jpeg", "npy"):
+        raise ValueError(f"format must be png|jpeg|npy, got {fmt!r}")
+
     style_parallel = bool(payload.get("style_parallel"))
     if style_parallel:
         # one output texture PER style (no mixing) — the EP path
@@ -256,11 +266,11 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
                   else contextlib.nullcontext())
         with dev_cm:
             if style_parallel:
-                return _run_style_parallel_locked(pool, cfg, styles)
-            return _run_locked(pool, cfg, styles, content, init, token)
+                return _run_style_parallel_locked(pool, cfg, styles, fmt)
+            return _run_locked(pool, cfg, styles, content, init, token, fmt)
 
 
-def _run_locked(pool, cfg, styles, content, init, token):
+def _run_locked(pool, cfg, styles, content, init, token, fmt="png"):
     """The device-touching half of a request (caller holds pool.lock and the
     worker's default-device context)."""
     import jax
@@ -291,7 +301,7 @@ def _run_locked(pool, cfg, styles, content, init, token):
                     key=run_key, styles_token=token)
     batch = _fetch_uint8(out)
     _maybe_export_pack(synth, token, n_styles=len(styles))
-    return _encode_batch(batch)
+    return _encode_batch(batch, fmt)
 
 
 def _fetch_uint8(out):
@@ -315,23 +325,37 @@ def _fetch_uint8(out):
 _QUANT_JIT = None
 
 
-def _encode_batch(batch):
-    """(N, H, W, 3) uint8 -> ("image/png", bytes) for N == 1, else
-    ("application/json", {"images_b64": [...]})."""
+def _encode_batch(batch, fmt="png"):
+    """(N, H, W, 3) uint8 -> response (content_type, body).
+
+    ``fmt="png"`` (default): image/png for N == 1, else application/json
+    with every image base64-encoded. ``fmt="jpeg"``: same shape, quality-92
+    JPEG — on the 1-core host the PNG encode of a 2048px response costs
+    ~1 s and dominates the post-synthesis tail; JPEG is ~5x faster and ~4x
+    smaller (lossy — opt-in). ``fmt="npy"``: the WHOLE batch as one
+    .npy (N, H, W, 3) uint8 body (application/octet-stream) — zero image
+    encode for pipeline consumers, exact pixels."""
     from PIL import Image
 
-    pngs = []
+    if fmt == "npy":
+        buf = io.BytesIO()
+        np.save(buf, batch)
+        return "application/octet-stream", buf.getvalue()
+    pil_fmt, mime = (("JPEG", "image/jpeg") if fmt == "jpeg"
+                     else ("PNG", "image/png"))
+    save_kw = {"quality": 92} if fmt == "jpeg" else {}
+    imgs = []
     for arr in batch:
         buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, "PNG")
-        pngs.append(buf.getvalue())
-    if len(pngs) == 1:
-        return "image/png", pngs[0]
+        Image.fromarray(arr).save(buf, pil_fmt, **save_kw)
+        imgs.append(buf.getvalue())
+    if len(imgs) == 1:
+        return mime, imgs[0]
     return "application/json", json.dumps(
-        {"images_b64": [base64.b64encode(p).decode() for p in pngs]}).encode()
+        {"images_b64": [base64.b64encode(p).decode() for p in imgs]}).encode()
 
 
-def _run_style_parallel_locked(pool, cfg, styles):
+def _run_style_parallel_locked(pool, cfg, styles, fmt="png"):
     """Style-parallel request (one output per style): reuses a pooled
     Synthesizer's warm VGGBank (no per-request weight upload), one style
     per chip when num_devices > 1, the single-device per-style path
@@ -353,7 +377,7 @@ def _run_style_parallel_locked(pool, cfg, styles):
                              f"{cfg.num_devices}: pass one style per device")
         mesh = make_mesh(cfg.num_devices)
     out = synthesize_style_batch(cfg, styles, mesh, bank=synth.bank)
-    return _encode_batch(_fetch_uint8(out))
+    return _encode_batch(_fetch_uint8(out), fmt)
 
 
 # 8 styles + content + init as base64 PNGs comfortably fit (8 x ~8 MB

@@ -703,3 +703,50 @@ def test_trickle_body_read_hits_total_deadline():
             return out
 
     assert serve._read_body_deadline(Normal(b"a" * 100), 100) == b"a" * 100
+
+
+def test_response_formats(server):
+    """format=jpeg|npy (r4): npy carries the exact uint8 pixels the PNG
+    encodes; jpeg decodes close to them; bad format -> 400."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    base = {
+        "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                   "depth": 2, "seed": 5},
+        "style_b64": [_style_b64()],
+    }
+
+    def post(extra):
+        req = urllib.request.Request(
+            f"{server}/v1/synthesize",
+            data=json.dumps({**base, **extra}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            return r.headers["Content-Type"], r.read()
+
+    ct_png, png = post({})
+    ct_npy, npy = post({"format": "npy"})
+    ct_jpg, jpg = post({"format": "jpeg"})
+    assert (ct_png, ct_npy, ct_jpg) == (
+        "image/png", "application/octet-stream", "image/jpeg")
+
+    arr_npy = np.load(io.BytesIO(npy))
+    assert arr_npy.dtype == np.uint8 and arr_npy.shape == (1, 64, 64, 3)
+    arr_png = np.asarray(Image.open(io.BytesIO(png)))
+    np.testing.assert_array_equal(arr_npy[0], arr_png)  # exact pixels
+
+    assert jpg[:2] == b"\xff\xd8"          # JPEG SOI
+    arr_jpg = np.asarray(Image.open(io.BytesIO(jpg))).astype(np.int16)
+    # quality-92 JPEG of a 64px high-frequency texture: measured MAE ~14;
+    # unrelated uint8 images differ by ~85 — assert same-image, not lossless
+    assert np.abs(arr_jpg - arr_png.astype(np.int16)).mean() < 30.0
+
+    try:
+        post({"format": "webp"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert b"png|jpeg|npy" in e.read()
