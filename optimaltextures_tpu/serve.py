@@ -188,11 +188,12 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
                       config_defaults: dict | None = None):
     """Run one request; returns (content_type, body bytes).
 
-    batch == 1 -> raw image/png; batch > 1 -> application/json with every
-    synthesized image base64-encoded (nothing computed is discarded).
-    ``config_defaults``: operator-set config values applied when the request
-    omits the field (e.g. ``{"pca_bucket": 32}`` so unseen styles reuse
-    compiled stage programs). Raises ValueError on bad input."""
+    Response shape follows the request's ``format`` (see _encode_batch):
+    png (default)/jpeg -> raw image for one output, application/json with
+    base64 images for batch > 1; npy -> the whole uint8 batch as one .npy
+    body. ``config_defaults``: operator-set config values applied when the
+    request omits the field (e.g. ``{"pca_bucket": 32}`` so unseen styles
+    reuse compiled stage programs). Raises ValueError on bad input."""
     cfg_args = dict(config_defaults or {})
     cfg_args.update({k: v for k, v in payload.get("config", {}).items()
                      if k in _CONFIG_FIELDS})

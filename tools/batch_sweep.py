@@ -40,10 +40,11 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def sweep(size, batches, depth, runs, conv_dtype="bfloat16", trace_dir=None,
-          batch_chunk=0):
+          batch_chunk=0, hist_mode="chol"):
     style_path = "/root/reference/style/graffiti.jpg"
     styles = imageio.load_styles([style_path], size, 1.0)
     cfg = OptexConfig(size=size, style=[style_path], seed=0,
+                      hist_mode=hist_mode,
                       conv_dtype=conv_dtype, batch_chunk=batch_chunk,
                       # cfg.batch only gates validation here (run() chunks by
                       # the actual noise batch); keep it chunk-divisible
@@ -130,6 +131,11 @@ def main():
     ap.add_argument("--batch_chunk", type=int, default=0,
                     help="micro-batch the codec (images per chunk; caps "
                          "peak HBM so batches past the capacity wall fit)")
+    ap.add_argument("--hist_mode", default="chol",
+                    help="sweep a non-default OT mode (cdf/sort iterate "
+                         "the sample cloud per rotation — no composed "
+                         "map; their batch curve answers what those "
+                         "modes cost at throughput)")
     ap.add_argument("--skip_depth3", action="store_true")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
@@ -139,11 +145,13 @@ def main():
         print("== depth 3 (real weights) ==", flush=True)
         out["depth3"] = sweep(args.size, batches, 3, args.runs,
                               trace_dir=args.trace,
-                              batch_chunk=args.batch_chunk)
+                              batch_chunk=args.batch_chunk,
+                              hist_mode=args.hist_mode)
     if args.depth5:
         print("== depth 5 (synthetic bank) ==", flush=True)
         out["depth5"] = sweep(args.size, batches, 5, args.runs,
-                              batch_chunk=args.batch_chunk)
+                              batch_chunk=args.batch_chunk,
+                              hist_mode=args.hist_mode)
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
