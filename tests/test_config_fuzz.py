@@ -56,6 +56,14 @@ def _sample_cfg(rng):
                                 rng.uniform(0.1, 1.0, n_styles)]
     if not use_content and rng.random() < 0.25:
         kw["out_width"] = int(rng.choice([32, 96]))
+    if not use_content:
+        kw["batch"] = int(rng.choice([1, 1, 2, 4]))
+    if rng.random() < 0.3:
+        # r4 capacity knob: valid only for chunk-divisible moment-mode
+        # synthesis with cov_propagation — invalid draws must reject
+        # cleanly, valid ones must match the monolithic math (asserted
+        # finite+shaped here; exactness has its own equality tests)
+        kw["batch_chunk"] = int(rng.choice([1, 2, 3]))
     if use_content:
         kw["content"] = f"{REF}/content/rocket.jpg"
         kw["content_strength"] = float(rng.choice([0.0, 0.2]))
@@ -91,7 +99,7 @@ def test_random_config_compositions():
         else:
             synth = core.Synthesizer(cfg)
         shape = content.shape if content is not None else \
-            (1, cfg.size, cfg.out_width or cfg.size, 3)
+            (cfg.batch, cfg.size, cfg.out_width or cfg.size, 3)
         noise = jax.random.uniform(jax.random.key(trial), shape)
         out = np.asarray(synth.run(noise, styles, content))
         assert np.isfinite(out).all(), kw
@@ -104,7 +112,7 @@ def test_random_config_compositions():
                 else None):
             if rs:
                 cur = cs
-        assert out.shape == (1, *cur, 3), (out.shape, cur, kw)
+        assert out.shape == (shape[0], *cur, 3), (out.shape, cur, kw)
         ran += 1
     # the sweep must actually exercise a healthy number of valid combos
     assert ran >= 15, ran
