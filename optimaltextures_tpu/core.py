@@ -65,6 +65,43 @@ def _resize_jit(img, *, size, circular: bool = False):
     return resize_nhwc(img, size, circular=circular)
 
 
+_GRAM_CHUNK_BYTES = 256 * 2 ** 20   # stream the Gram above this layer size
+
+
+def _scalar_centered_gram(sf, s):
+    """(N, C) scalar-mean-centered Gram ``(x-s)^T (x-s)`` without
+    materializing the centered copy for huge layers: at 4096px the relu1_1
+    style features are 4.3 GB f32, and the centered temp (plus the f32
+    cast and the conv taps) pushed ONE pass's spectra program past HBM —
+    the observed 4K prep OOM. Above the threshold the rows stream through
+    a lax.scan accumulator in exact chunk-major order (a different f32
+    summation order than the monolithic GEMM — tolerance-level, which is
+    why small layers keep the single GEMM bit-for-bit)."""
+    x2 = sf.reshape(-1, sf.shape[-1])
+    rows, c = x2.shape
+    hp = jax.lax.Precision.HIGHEST
+    if rows * c * 4 > _GRAM_CHUNK_BYTES:
+        target = max(1, (_GRAM_CHUNK_BYTES // 4) // c)
+        n_chunks = -(-rows // target)
+        while rows % n_chunks:       # need an exact split; rows from conv
+            n_chunks += 1            # grids are highly composite
+            if n_chunks > 4096:      # pathological size: fall back
+                break
+        if rows % n_chunks == 0:
+            chunks = x2.reshape(n_chunks, rows // n_chunks, c)
+
+            def body(g, ch):
+                # widen PER CHUNK (bf16->f32 is exact) so the full-size f32
+                # copy never exists
+                xc = ch.astype(jnp.float32) - s
+                return g + jnp.matmul(xc.T, xc, precision=hp), None
+
+            g, _ = jax.lax.scan(body, jnp.zeros((c, c), jnp.float32), chunks)
+            return g
+    xc = x2.astype(jnp.float32) - s
+    return jnp.matmul(xc.T, xc, precision=hp)
+
+
 @partial(jax.jit, static_argnames=("depth", "use_pca"))
 def _style_spectra_pass_jit(enc_params, style_tens, *, depth: int, use_pca: bool):
     """ONE fused program per pass: multi-tap style encode at every depth +
@@ -74,18 +111,20 @@ def _style_spectra_pass_jit(enc_params, style_tens, *, depth: int, use_pca: bool
     per-depth truncated encoders, and the 1-core host pays ~ms per dispatch,
     so a pass's style prep is one program instead of dozens of eager ops.
 
-    Returns [(sf, s_vals, v)] ordered deepest-first (layer-loop order)."""
+    Returns [(sf, s_vals, v)] ordered deepest-first (layer-loop order).
+    ``sf`` crosses the program boundary in CONV dtype: bf16 -> f32 widening
+    is exact, so downstream consumers widening on entry compute the
+    identical f32 values while the cross-program residency halves — at
+    4096px the f32 taps alone are 7.5 GB (part of the 4K prep OOM)."""
     conv_dtype = enc_params[0][0].dtype
     per_style = [encode_taps(enc_params, depth, s.astype(conv_dtype))
                  for s in style_tens]
     out = []
     for d in range(depth, 0, -1):
-        sf = jnp.concatenate([t[d - 1] for t in per_style],
-                             axis=0).astype(jnp.float32)
+        sf = jnp.concatenate([t[d - 1] for t in per_style], axis=0)
         if use_pca:
-            c = sf.shape[-1]
-            x = sf.reshape(-1, c) - sf.mean()
-            g = jnp.matmul(x.T, x, precision=jax.lax.Precision.HIGHEST)
+            s = jnp.mean(sf, dtype=jnp.float32)   # convert fuses into the reduce
+            g = _scalar_centered_gram(sf, s)
             eva, eve = jnp.linalg.eigh(g)
             s_vals = jnp.sqrt(jnp.maximum(eva[::-1], 0.0))
             out.append((sf, s_vals, eve[:, ::-1]))
@@ -107,6 +146,9 @@ def _style_stats_pass_jit(sfs, vs, true_ks, *, ks, need_samples: bool):
     Returns [(sf_projected, eigvecs, stats, premix scalar mean)]."""
     out = []
     for sf, v, k, tk in zip(sfs, vs, ks, true_ks):
+        # spectra hand sf over in conv dtype (r4); bf16 -> f32 is exact, so
+        # widening here computes the same f32 values as the old f32 handoff
+        sf = sf.astype(jnp.float32)
         eigvecs = None
         if k:
             eigvecs = v[:, :k]
@@ -702,6 +744,34 @@ class Synthesizer:
                 plan.append((size, False, None))
         return plan
 
+    _PREP_PREFETCH_BYTES = 4 * 2 ** 30   # all-pass prefetch budget (HBM 16G)
+
+    def _prep_prefetch_bytes(self, plan, styles) -> int:
+        """Static estimate of the all-pass style-prep footprint: the f32
+        multi-tap spectra of every DISTINCT pass prep coexist from phase A
+        until the slim targets supersede them. At 4096px this alone is
+        ~15 GB (relu1_1 of the style is HxWx64 f32 per pass) — the observed
+        4K OOM fired in the k-decision drain, before any stage ran. Above
+        the budget run() switches to the sequential low-memory prep."""
+        channels = [64, 128, 256, 512, 512]
+        seen = set()
+        total = 0
+        for (size, rs, _) in plan:
+            ck = size if rs else None
+            if ck in seen:
+                continue
+            seen.add(ck)
+            for s in styles:
+                if rs:
+                    h, w = schedule.get_size(size, self.cfg.style_scale,
+                                             s.shape[1], s.shape[2])
+                else:
+                    h, w = s.shape[1], s.shape[2]
+                for d in range(1, self.depth + 1):
+                    total += (h // 2 ** (d - 1)) * (w // 2 ** (d - 1)) \
+                        * channels[d - 1] * 4
+        return total
+
     def _dispatch_style_prep(self, styles, size: int, do_resize: bool):
         """Dispatch one pass's style resize + multi-tap encode + spectra —
         no host syncs. Gate-skip passes (do_resize False) encode the ORIGINAL
@@ -867,12 +937,21 @@ class Synthesizer:
         # additionally persist across run() calls, so a warm serving pool
         # skips ALL style conv/eigh device work AND the per-run k-decision
         # pipeline drain for repeated styles (r1 VERDICT next-step #7).
+        # low-memory prep: above the prefetch budget (e.g. 4096px — ~15 GB
+        # of coexisting f32 spectra, the observed 4K OOM) prep dispatches
+        # per pass inside phase C and each entry's spectra are freed after
+        # their last use, trading the single batched k-drain for a few
+        # per-pass fetches (irrelevant at these walls)
+        low_mem = (self._prep_prefetch_bytes(plan, styles)
+                   > self._PREP_PREFETCH_BYTES)
         entries = []        # one per pass: [spectra, widths, masks]
         pending = []        # entries whose k-decision hasn't run yet
         local = {}
+        prep_args = []      # (size, rs) per pass, for low_mem late dispatch
         for (size, rs, cs) in plan:
             ck = size if rs else None
             full = (styles_token, ck)
+            prep_args.append((size, rs))
             if styles_token is not None and full in self._style_prep_cache:
                 self._style_prep_cache.move_to_end(full)
                 entry = self._style_prep_cache[full]
@@ -881,11 +960,14 @@ class Synthesizer:
             else:
                 # slots: [spectra, widths, masks, cache key, finished slim
                 # targets (single-style only; supersedes spectra once built)]
-                entry = [self._dispatch_style_prep(styles, size, rs), None,
+                entry = [None if low_mem else
+                         self._dispatch_style_prep(styles, size, rs), None,
                          None, full, None]
                 local[ck] = entry
-                pending.append(entry)
+                if not low_mem:
+                    pending.append(entry)
             entries.append(entry)
+        last_use = {id(e): p for p, e in enumerate(entries)}
 
         # phase B: one host drain for every NEW prep's k decisions; with
         # pca_bucket the program width rounds UP to the bucket (capped at C)
@@ -909,12 +991,6 @@ class Synthesizer:
                 self._style_prep_cache[entry[3]] = entry
         while len(self._style_prep_cache) > 6 * max(cfg.passes, 1):
             self._style_prep_cache.popitem(last=False)
-
-        kss = [e[1] for e in entries]
-        masks_all = [e[2] for e in entries]
-        # realized per-(pass, layer) program widths; consumed by the analytic
-        # FLOP model in bench.py (utils/flops.py)
-        self.last_run_ks = kss
 
         # per-pass content resize (from the ORIGINAL, like the reference —
         # optex.py:50-51 resizes forward()'s unmodified content every pass)
@@ -941,16 +1017,24 @@ class Synthesizer:
             pass_key = jax.random.fold_in(run_key, p)
             t0 = time.time()
             e = entries[p]
+            if e[1] is None and e[4] is None:
+                # low_mem: this pass's prep dispatches HERE (nothing was
+                # prefetched) and its k-decision drains individually
+                if e[0] is None:
+                    e[0] = self._dispatch_style_prep(styles, *prep_args[p])
+                e[1], e[2] = self._choose_widths(e[0])
+                if styles_token is not None:
+                    self._style_prep_cache[e[3]] = e
             if e[4] is not None:
                 slim = e[4]
             else:
-                slim = self._finish_style_prep(e[0], kss[p], masks_all[p],
+                slim = self._finish_style_prep(e[0], e[1], e[2],
                                                pass_key, len(styles))
                 if len(styles) == 1:
                     # single-style finished targets are pass_key-free: share
                     # across passes and (with a token) across runs
                     e[4] = slim
-            targets = self._assemble_targets(slim, conts[p], masks_all[p])
+            targets = self._assemble_targets(slim, conts[p], e[2])
             _, do_resize, cont_size = plan[p]
 
             # content matching only at the 3 deepest of the 5 layers
@@ -978,9 +1062,24 @@ class Synthesizer:
             per_pass.append((tuple(adj), tuple(strengths),
                              tuple(int(i) for i in self.iters_table[p]),
                              do_resize, cont_size, pass_key))
+            if (low_mem and last_use[id(e)] == p
+                    and (styles_token is None or e[4] is not None)):
+                # free this pass's raw spectra NOW — mid-run delete RPCs
+                # cost ~5 ms each through the tunnel (the non-low_mem path
+                # defers them to run end for that reason), but here memory
+                # headroom is the whole point
+                e[0] = None
             if timing:
                 jax.block_until_ready([t.stats.cov_raw for t in targets])
                 print(f"  pass prep: {(time.time()-t0)*1000:.1f} ms", flush=True)
+
+        # realized per-(pass, layer) program widths; consumed by the analytic
+        # FLOP model in bench.py (utils/flops.py)
+        self.last_run_ks = [e[1] for e in entries]
+        while len(self._style_prep_cache) > 6 * max(cfg.passes, 1):
+            # low_mem inserts entries during phase C, after the phase-B
+            # eviction already ran
+            self._style_prep_cache.popitem(last=False)
 
         # phase D: execute. Single-device non-timing runs fuse the WHOLE
         # chain (every pass's resize + stages) into ONE program — one

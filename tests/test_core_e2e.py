@@ -423,3 +423,53 @@ def test_batch_chunk_validation():
         OptexConfig(**base, batch_chunk=-1).validate()
     # chunk >= batch silently runs the monolithic path (n_chunks == 1)
     OptexConfig(**base, batch_chunk=4).validate()
+
+
+def test_low_mem_prep_equals_prefetch(monkeypatch):
+    """The sequential low-memory prep (r4 — the 4096px OOM fix: per-pass
+    dispatch + per-entry k-drain + spectra freed after last use) must
+    produce the same output as the all-pass prefetch: same programs, same
+    k decisions, only dispatch order and buffer lifetimes differ."""
+    base = dict(size=96, passes=3, iters=9, depth=2, seed=6, batch=1,
+                style=[STYLE])
+    styles = [imageio.load_image(STYLE, 96, oversize=False)]
+    noise = np.random.default_rng(8).uniform(
+        size=(1, 64, 64, 3)).astype(np.float32)
+
+    ref = np.asarray(core.Synthesizer(OptexConfig(**base))
+                     .run(jnp.asarray(noise), styles))
+    monkeypatch.setattr(core.Synthesizer, "_PREP_PREFETCH_BYTES", 0)
+    low = np.asarray(core.Synthesizer(OptexConfig(**base))
+                     .run(jnp.asarray(noise), styles))
+    np.testing.assert_array_equal(low, ref)
+
+    # mixing keeps its per-pass mask semantics through the low-mem path too
+    base2 = dict(size=64, passes=2, iters=6, depth=2, seed=3, batch=1,
+                 style=[STYLE, STYLE2], mixing_alpha=0.5)
+    styles2 = [imageio.load_image(p, 64, oversize=False)[:, :64, :64]
+               for p in (STYLE, STYLE2)]
+    monkeypatch.setattr(core.Synthesizer, "_PREP_PREFETCH_BYTES",
+                        4 * 2 ** 30)
+    ref2 = np.asarray(core.Synthesizer(OptexConfig(**base2))
+                      .run(jnp.asarray(noise[:, :, :, :]), styles2))
+    monkeypatch.setattr(core.Synthesizer, "_PREP_PREFETCH_BYTES", 0)
+    low2 = np.asarray(core.Synthesizer(OptexConfig(**base2))
+                      .run(jnp.asarray(noise[:, :, :, :]), styles2))
+    np.testing.assert_array_equal(low2, ref2)
+
+
+def test_prep_prefetch_estimate_gate():
+    """The static footprint estimate crosses the 4 GiB budget for a 4096px
+    single-style plan and stays under it at 512px (the sizes that motivated
+    the gate)."""
+    cfg = OptexConfig(size=512, style=[STYLE])
+    synth = core.Synthesizer(cfg)
+    styles = [jnp.zeros((1, 512, 512, 3))]
+    plan = synth._plan_passes((512, 512), None)
+    assert synth._prep_prefetch_bytes(plan, styles) \
+        < core.Synthesizer._PREP_PREFETCH_BYTES
+    big = [jnp.zeros((1, 4096, 4096, 3))]
+    synth4k = core.Synthesizer(OptexConfig(size=4096, style=[STYLE]))
+    plan4k = synth4k._plan_passes((4096, 4096), None)
+    assert synth4k._prep_prefetch_bytes(plan4k, big) \
+        > core.Synthesizer._PREP_PREFETCH_BYTES
