@@ -26,6 +26,7 @@ the image buffer across stages instead of allocating fresh HBM.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import List, NamedTuple, Optional  # noqa: F401
@@ -744,7 +745,12 @@ class Synthesizer:
                 plan.append((size, False, None))
         return plan
 
-    _PREP_PREFETCH_BYTES = 4 * 2 ** 30   # all-pass prefetch budget (HBM 16G)
+    # All-pass prefetch budget: above it run() switches to the sequential
+    # low-memory prep. Sized for 16 GB HBM (v5e); OPTEX_PREP_PREFETCH_GB
+    # overrides for other parts (read at import; a class attribute so tests
+    # can monkeypatch the gate).
+    _PREP_PREFETCH_BYTES = int(
+        float(os.environ.get("OPTEX_PREP_PREFETCH_GB", 4)) * 2 ** 30)
 
     def _prep_prefetch_bytes(self, plan, styles) -> int:
         """Static estimate of the all-pass style-prep footprint: the f32
@@ -891,7 +897,6 @@ class Synthesizer:
         arrays is folded into the cache key (:func:`_styles_fingerprint`),
         so a stale token with different styles recomputes instead of
         serving the cached styles' statistics."""
-        import os
         timing = os.environ.get("OPTEX_TIMING") == "1"
 
         cfg = self.cfg

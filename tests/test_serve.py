@@ -750,3 +750,34 @@ def test_response_formats(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert b"png|jpeg|npy" in e.read()
+
+
+def test_bake_packs_tool(tmp_path, monkeypatch):
+    """tools/bake_packs.py writes exactly the pack the serving path would:
+    a fresh pool's first request for the baked style serves with ZERO
+    style-prep dispatches."""
+    from optimaltextures_tpu import core
+    from tools import bake_packs
+
+    monkeypatch.setattr("sys.argv", [
+        "bake_packs.py", "--styles", "/root/reference/style/graffiti.jpg",
+        "--pack_dir", str(tmp_path),
+        "--size", "64",
+        "--config", "passes=1", "--config", "iters=4",
+        "--config", "no_multires=true", "--config", "depth=2",
+    ])
+    bake_packs.main()
+    packs = list(tmp_path.glob("pack_*.npz"))
+    assert len(packs) == 1
+
+    monkeypatch.setenv("OPTEX_PACK_DIR", str(tmp_path))
+    calls = []
+    orig = core.Synthesizer._dispatch_style_prep
+    monkeypatch.setattr(core.Synthesizer, "_dispatch_style_prep",
+                        lambda self, *args: calls.append(1) or orig(self, *args))
+    serve.handle_synthesize(serve.SynthesizerPool(), {
+        "config": {"size": 64, "passes": 1, "iters": 4, "no_multires": True,
+                   "depth": 2, "seed": 3},
+        "style_b64": [_style_b64()],
+    })
+    assert calls == []           # warm-started entirely from the baked pack
