@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import OrderedDict
 from functools import partial
 from typing import List, NamedTuple, Optional  # noqa: F401
 
@@ -40,7 +41,8 @@ from .config import OptexConfig
 
 from .models.vgg import VGGBank, decode, encode, encode_taps
 from .ops import colors, histmatch
-from .ops.resize import resize_nearest_nhwc, resize_nhwc
+from .ops.resize import (apply_resample, resample_pair, resize_nearest_nhwc,
+                         resize_nhwc)
 from .utils import schedule
 
 
@@ -63,7 +65,59 @@ def _encode_jit(params, depth: int, img):
 
 @partial(jax.jit, static_argnames=("size", "circular"))
 def _resize_jit(img, *, size, circular: bool = False):
+    """Constant-embedding resize program — kept ONLY for multi-device
+    (sharded) inputs, where the weight-argument path would have to reason
+    about placements; single-device callers use :func:`_resize_dev` (the
+    embedded (out, in) weights are what overflowed the remote-compile
+    transport at 8192px — ops/resize.apply_resample's docstring)."""
     return resize_nhwc(img, size, circular=circular)
+
+
+_apply_resample_jit = jax.jit(apply_resample)
+# LRU-bounded: entries are DEVICE-resident (out, in) float32 matrices (an
+# 8192-row pair is ~100s of MB), and a long-lived server sees a new shape
+# pair per uploaded style size — unbounded growth would leak HBM. 64
+# entries covers every (pass, multires) shape of several concurrent
+# configs; evicted weights just re-upload (host build is lru_cached too).
+_RESAMPLE_DEV_CACHE = OrderedDict()
+_RESAMPLE_DEV_CACHE_MAX = 64
+
+
+def _resample_arrays(in_hw, out_hw, circular: bool, device=None):
+    """Device-resident (wh, ww) weight pair, uploaded once per shape pair
+    and reused by every program that resizes through it.
+
+    The arrays are deliberately UNCOMMITTED (``jnp.asarray``, default
+    device — on the one-chip TPU attachment that IS the chip, so the
+    upload-once property holds). ``jax.device_put(w, device)`` would pin
+    them, and a committed operand makes every downstream jit output
+    committed too — style statistics prepped through a committed resize
+    then CONFLICT with mesh-sharded pastiches inside the DP/SP
+    jit(shard_map) stages ("incompatible devices"), where uncommitted
+    inputs auto-replicate. Caught by
+    tests/test_parallel.py::test_dp_batch_chunk_matches_single_device."""
+    del device  # placement is deliberately left to JAX (see docstring)
+    key = (tuple(in_hw), tuple(out_hw), circular)
+    if key in _RESAMPLE_DEV_CACHE:
+        _RESAMPLE_DEV_CACHE.move_to_end(key)
+    else:
+        wh, ww = resample_pair(tuple(in_hw), tuple(out_hw), circular)
+        _RESAMPLE_DEV_CACHE[key] = (jnp.asarray(wh), jnp.asarray(ww))
+        while len(_RESAMPLE_DEV_CACHE) > _RESAMPLE_DEV_CACHE_MAX:
+            _RESAMPLE_DEV_CACHE.popitem(last=False)
+    return _RESAMPLE_DEV_CACHE[key]
+
+
+def _resize_dev(x, size, circular: bool = False):
+    """Resize with weight-argument programs (no giant HLO constants)."""
+    if tuple(x.shape[1:3]) == tuple(size):
+        return x
+    devs = x.devices() if hasattr(x, "devices") else set()
+    if len(devs) != 1:
+        # sharded input: keep the constant-embedding program
+        return _resize_jit(x, size=tuple(size), circular=circular)
+    wh, ww = _resample_arrays(x.shape[1:3], size, circular, next(iter(devs)))
+    return _apply_resample_jit(x, wh, ww)
 
 
 _GRAM_CHUNK_BYTES = 256 * 2 ** 20   # stream the Gram above this layer size
@@ -233,7 +287,7 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
                       depths, iters, mode: str, strengths, pca_flags,
                       use_pallas=None, pad_mode: str = "reflect",
                       resize_to=None, resize_circular: bool = False,
-                      cov_prop: bool = True):
+                      cov_prop: bool = True, resize_mats=None):
     """ALL of a pass's layer stages in ONE program: the pass's multires
     resize (``resize_to``, in float32 — parity with the standalone step),
     the f32<->conv_dtype casts, and for each depth (deepest first)
@@ -246,9 +300,13 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
 
     ``pad_mode="wrap"`` = tileable synthesis (circular conv padding on the
     pastiche path only; style/content statistics are global, so the OT loop
-    itself is shift-invariant already). Takes and returns float32."""
+    itself is shift-invariant already). Takes and returns float32.
+
+    ``resize_mats``: the (wh, ww) resampling weights as RUNTIME arrays —
+    required whenever ``resize_to`` is set, so the program never embeds
+    the (out, in) matrices as constants (ops/resize.apply_resample)."""
     if resize_to is not None:
-        pastiche = resize_nhwc(pastiche, resize_to, circular=resize_circular)
+        pastiche = apply_resample(pastiche, *resize_mats)
     conv_dtype = enc_params[0][0][0].dtype
     pastiche = pastiche.astype(conv_dtype)
     for i, d in enumerate(depths):
@@ -284,13 +342,16 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
                      *, depths, plans, mode: str, strengths_all,
                      pca_flags_all, use_pallas=None,
                      pad_mode: str = "reflect",
-                     resize_circular: bool = False, cov_prop: bool = True):
+                     resize_circular: bool = False, cov_prop: bool = True,
+                     resize_mats_all=None):
     """The WHOLE run's pass chain in ONE program: every pass's multires
     resize + all its layer stages, chained on-device. One dispatch + one
     final sync per run where the per-pass path pays 5 dispatches + the
     resize/cast traffic — on this 1-core host the run is dispatch-bound, not
     device-bound (docs/PERF.md r3 trace), so the fusion is the warm-path
-    floor. ``plans``: per-pass (resize_to | None, iters tuple)."""
+    floor. ``plans``: per-pass (resize_to | None, iters tuple);
+    ``resize_mats_all``: the matching per-pass (wh, ww) weight arrays (see
+    _pass_stages_impl — runtime args, never HLO constants)."""
     for p, (resize_to, iters) in enumerate(plans):
         pastiche = _pass_stages_impl(
             enc_params, dec_params, pastiche, targets_all[p],
@@ -299,7 +360,7 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
             strengths=strengths_all[p], pca_flags=pca_flags_all[p],
             use_pallas=use_pallas, pad_mode=pad_mode,
             resize_to=resize_to, resize_circular=resize_circular,
-            cov_prop=cov_prop)
+            cov_prop=cov_prop, resize_mats=resize_mats_all[p])
     return pastiche
 
 
@@ -317,7 +378,8 @@ _run_stages_jit_nodonate = partial(jax.jit,
 def _pass_stages_chunked_impl(enc_params, dec_params, pastiche, targets, key,
                               *, depths, iters, mode: str, pca_flags,
                               n_chunks: int, pad_mode: str = "reflect",
-                              resize_to=None, resize_circular: bool = False):
+                              resize_to=None, resize_circular: bool = False,
+                              resize_mats=None):
     """One pass with the batch micro-batched through the conv stacks.
 
     The batch-256 512px program OOMs on one chip because the codec's
@@ -340,7 +402,7 @@ def _pass_stages_chunked_impl(enc_params, dec_params, pastiche, targets, key,
     by construction), synthesis only (content runs are single-image).
     """
     if resize_to is not None:
-        pastiche = resize_nhwc(pastiche, resize_to, circular=resize_circular)
+        pastiche = apply_resample(pastiche, *resize_mats)
     conv_dtype = enc_params[0][0][0].dtype
     pastiche = pastiche.astype(conv_dtype)
     b_total = pastiche.shape[0]
@@ -385,7 +447,8 @@ def _run_stages_chunked_impl(enc_params, dec_params, pastiche, targets_all,
                              run_key, *, depths, plans, mode: str,
                              pca_flags_all, n_chunks: int,
                              pad_mode: str = "reflect",
-                             resize_circular: bool = False):
+                             resize_circular: bool = False,
+                             resize_mats_all=None):
     """The whole run's pass chain, batch-chunked (see
     :func:`_pass_stages_chunked_impl`) — still ONE dispatched program."""
     for p, (resize_to, iters) in enumerate(plans):
@@ -395,7 +458,8 @@ def _run_stages_chunked_impl(enc_params, dec_params, pastiche, targets_all,
             depths=depths, iters=iters, mode=mode,
             pca_flags=pca_flags_all[p], n_chunks=n_chunks,
             pad_mode=pad_mode, resize_to=resize_to,
-            resize_circular=resize_circular)
+            resize_circular=resize_circular,
+            resize_mats=resize_mats_all[p])
     return pastiche
 
 
@@ -562,8 +626,6 @@ class Synthesizer:
         self._run_counter = 0
         self.reseed(cfg.seed)
         # cross-run style prep cache (LRU), keyed (styles_token, pass size)
-        from collections import OrderedDict
-
         self._style_prep_cache = OrderedDict()
 
         # multi-chip parallelism. Three layouts (validate() gates combos):
@@ -785,8 +847,8 @@ class Synthesizer:
         cfg = self.cfg
         if do_resize:
             style_tens = tuple(
-                _resize_jit(s, size=schedule.get_size(size, cfg.style_scale,
-                                                      s.shape[1], s.shape[2]))
+                _resize_dev(s, schedule.get_size(size, cfg.style_scale,
+                                                 s.shape[1], s.shape[2]))
                 for s in styles
             )
         else:
@@ -1006,7 +1068,7 @@ class Synthesizer:
                 conts.append(None)
             elif rs:
                 if cs not in rs_cache:
-                    rs_cache[cs] = _resize_jit(content, size=cs)
+                    rs_cache[cs] = _resize_dev(content, cs)
                 conts.append(rs_cache[cs])
             else:
                 conts.append(content)
@@ -1108,6 +1170,19 @@ class Synthesizer:
             pca_flags_all = tuple(
                 tuple(t.eigvecs is not None for t in adj)
                 for (adj, *_) in per_pass)
+            # resampling weights ride as runtime arrays (one device upload
+            # per (shapes, device), cached) — embedding them as program
+            # constants broke the remote compile at 8192px (ops/resize)
+            dev = next(iter(pastiche.devices()))
+            mats_all, cur_hw = [], tuple(pastiche.shape[1:3])
+            for (resize_to, _) in plans:
+                if resize_to is not None:
+                    mats_all.append(_resample_arrays(
+                        cur_hw, tuple(resize_to), cfg.tileable, dev))
+                    cur_hw = tuple(resize_to)
+                else:
+                    mats_all.append(None)
+            mats_all = tuple(mats_all)
             # batch_chunk: micro-batch the codec through lax.map so peak HBM
             # scales with the chunk, not the batch (breaks the batch-256
             # capacity wall — see _pass_stages_chunked_impl). Content runs
@@ -1129,7 +1204,8 @@ class Synthesizer:
                     depths=depths, plans=plans, mode=cfg.hist_mode,
                     pca_flags_all=pca_flags_all,
                     n_chunks=pastiche.shape[0] // cfg.batch_chunk,
-                    pad_mode=pad_mode, resize_circular=cfg.tileable)
+                    pad_mode=pad_mode, resize_circular=cfg.tileable,
+                    resize_mats_all=mats_all)
             else:
                 run_fn = (_run_stages_jit if donate
                           else _run_stages_jit_nodonate)
@@ -1141,7 +1217,8 @@ class Synthesizer:
                     pca_flags_all=pca_flags_all,
                     use_pallas=use_pallas, pad_mode=pad_mode,
                     resize_circular=cfg.tileable,
-                    cov_prop=cfg.cov_propagation)
+                    cov_prop=cfg.cov_propagation,
+                    resize_mats_all=mats_all)
         else:
             for (adj, strengths, iters, do_resize, cont_size,
                  pass_key) in per_pass:
@@ -1156,7 +1233,7 @@ class Synthesizer:
                     # psum'd global cdf histograms), content features
                     # H-sharded like the pastiche's features.
                     if do_resize:
-                        pastiche = _resize_jit(pastiche, size=cont_size,
+                        pastiche = _resize_dev(pastiche, cont_size,
                                                circular=cfg.tileable)
                     pca_flags = tuple(t.eigvecs is not None for t in adj)
                     if self.grid_mesh is not None:
@@ -1183,6 +1260,9 @@ class Synthesizer:
                     t0 = time.time()
                     stage_fn = _pass_stages_jit_resize if do_resize else \
                         _pass_stages_jit
+                    mats = _resample_arrays(
+                        pastiche.shape[1:3], tuple(cont_size), cfg.tileable,
+                        next(iter(pastiche.devices()))) if do_resize else None
                     pastiche = stage_fn(
                         enc_all, dec_all, pastiche, adj, pass_key,
                         depths=depths, iters=iters, mode=cfg.hist_mode,
@@ -1191,7 +1271,7 @@ class Synthesizer:
                         use_pallas=use_pallas, pad_mode=pad_mode,
                         resize_to=cont_size if do_resize else None,
                         resize_circular=cfg.tileable,
-                        cov_prop=cfg.cov_propagation)
+                        cov_prop=cfg.cov_propagation, resize_mats=mats)
                     if timing:
                         pastiche.block_until_ready()
                         print(f"  pass stages: "

@@ -102,23 +102,43 @@ def resample_matrix_circular(in_size: int, out_size: int) -> np.ndarray:
     return W.astype(np.float32)
 
 
+def apply_resample(x: jnp.ndarray, wh: jnp.ndarray,
+                   ww: jnp.ndarray) -> jnp.ndarray:
+    """The two resampling contractions with the weights as ARGUMENTS.
+
+    Traced callers must use this form for large sizes: ``resize_nhwc``
+    builds the (out, in) matrices inside the trace, which bakes them into
+    the program as HLO constants — an 8192-wide multires chain embeds
+    ~0.5 GB of constants, which broke the remote-compile transport
+    outright (r4). Weight arrays passed as runtime parameters keep the
+    program small and upload once (see core's device cache)."""
+    # (N,H,W,C): contract H then W; both land on the MXU.
+    y = jnp.einsum("oh,nhwc->nowc", wh, x, precision="highest")
+    return jnp.einsum("ow,nhwc->nhoc", ww, y, precision="highest")
+
+
+def resample_pair(in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                  circular: bool = False):
+    """Host (wh, ww) float32 matrices for an (H, W) -> (H, W) resize."""
+    mat = resample_matrix_circular if circular else resample_matrix
+    return mat(in_hw[0], out_hw[0]), mat(in_hw[1], out_hw[1])
+
+
 def resize_nhwc(x: jnp.ndarray, size: Tuple[int, int],
                 circular: bool = False) -> jnp.ndarray:
     """Bicubic+antialias resize of NHWC to (H, W), torch-parity semantics.
 
     ``circular=True`` wraps out-of-range kernel taps instead of truncating
-    them at the border (shift-equivariant on the torus; tileable mode)."""
+    them at the border (shift-equivariant on the torus; tileable mode).
+    NOTE: under trace the weights become program constants — fine at small
+    sizes, use :func:`apply_resample` with cached weight arguments for
+    large ones (see its docstring)."""
     h_out, w_out = size
     n, h_in, w_in, c = x.shape
     if (h_in, w_in) == (h_out, w_out):
         return x
-    mat = resample_matrix_circular if circular else resample_matrix
-    wh = jnp.asarray(mat(h_in, h_out))
-    ww = jnp.asarray(mat(w_in, w_out))
-    # (N,H,W,C): contract H then W; both land on the MXU.
-    y = jnp.einsum("oh,nhwc->nowc", wh, x, precision="highest")
-    y = jnp.einsum("ow,nhwc->nhoc", ww, y, precision="highest")
-    return y
+    wh, ww = resample_pair((h_in, w_in), size, circular)
+    return apply_resample(x, jnp.asarray(wh), jnp.asarray(ww))
 
 
 def resize_nearest_nhwc(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

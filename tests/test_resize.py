@@ -37,3 +37,20 @@ def test_nearest_parity(rng):
         ref = ref.numpy().transpose(0, 2, 3, 1)
         got = np.asarray(resize_nearest_nhwc(jnp.asarray(x), out_hw))
         np.testing.assert_allclose(got, ref)
+
+
+def test_weight_argument_path_bit_identical(rng):
+    """The runtime-array resize (core._resize_dev -> apply_resample with
+    device-cached weights) must be BITWISE equal to the traced-constant
+    program it replaced — the 8192px fix (docs/PERF.md r4) may not move
+    numerics. Covers plain and circular (tileable) weights."""
+    from optimaltextures_tpu.core import _resize_dev, _resize_jit
+
+    x = jnp.asarray(rng.random((2, 40, 56, 3), dtype=np.float32))
+    for circular in (False, True):
+        a = np.asarray(_resize_jit(x, size=(63, 91), circular=circular))
+        b = np.asarray(_resize_dev(x, (63, 91), circular=circular))
+        np.testing.assert_array_equal(a, b)
+    # identity size: both paths must return the input unchanged
+    np.testing.assert_array_equal(np.asarray(_resize_dev(x, (40, 56))),
+                                  np.asarray(x))
