@@ -137,15 +137,25 @@ def main() -> None:
             noiseb = jax.random.uniform(jax.random.key(nb),
                                         (nb, size, size, 3),
                                         dtype=jnp.float32)
-            synth.run(noiseb, styles).block_until_ready()  # warm-up
-            tb = _timed_runs(synth, noiseb, styles, max(3, runs - 4))
+            try:
+                synth.run(noiseb, styles).block_until_ready()  # warm-up
+                tb = _timed_runs(synth, noiseb, styles, max(3, runs - 4))
+            except Exception as e:  # RESOURCE_EXHAUSTED at large batches:
+                # record the point as OOM instead of aborting the bench of
+                # record (batch 256 at 512px already OOMs one v5e —
+                # docs/PERF.md r4; batch_sweep.py guards identically)
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                extra.setdefault("oom_batches", []).append(nb)
+                continue
             if nb == 8:
                 extra[f"images_per_sec_{size}px_batch8"] = round(nb / tb, 2)
                 extra["batch8_speedup_vs_single"] = round((nb / tb) * best, 2)
             if nb / tb > best_rate:
                 best_rate, best_nb = nb / tb, nb
-        extra["images_per_sec_best_batch"] = round(best_rate, 2)
-        extra["best_batch"] = best_nb
+        if best_nb is not None:
+            extra["images_per_sec_best_batch"] = round(best_rate, 2)
+            extra["best_batch"] = best_nb
 
     total_flops = flops.run_flops(
         synth, (size, size), [s.shape[1:3] for s in styles], synth.last_run_ks)

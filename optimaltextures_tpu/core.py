@@ -286,8 +286,8 @@ def _concat_svals_jit(svals):
 def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
                       depths, iters, mode: str, strengths, pca_flags,
                       use_pallas=None, pad_mode: str = "reflect",
-                      resize_to=None, resize_circular: bool = False,
-                      cov_prop: bool = True, resize_mats=None):
+                      resize_to=None, cov_prop: bool = True,
+                      resize_mats=None):
     """ALL of a pass's layer stages in ONE program: the pass's multires
     resize (``resize_to``, in float32 — parity with the standalone step),
     the f32<->conv_dtype casts, and for each depth (deepest first)
@@ -328,8 +328,7 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
 
 
 _PASS_STATICS = ("depths", "iters", "mode", "strengths", "pca_flags",
-                 "use_pallas", "pad_mode", "resize_to", "resize_circular",
-                 "cov_prop")
+                 "use_pallas", "pad_mode", "resize_to", "cov_prop")
 # resize passes change the buffer shape, so donation can't apply there (and
 # jax warns); gate-skip passes donate the same-shape pastiche buffer
 _pass_stages_jit = partial(jax.jit, static_argnames=_PASS_STATICS,
@@ -341,8 +340,7 @@ _pass_stages_jit_resize = partial(jax.jit,
 def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
                      *, depths, plans, mode: str, strengths_all,
                      pca_flags_all, use_pallas=None,
-                     pad_mode: str = "reflect",
-                     resize_circular: bool = False, cov_prop: bool = True,
+                     pad_mode: str = "reflect", cov_prop: bool = True,
                      resize_mats_all=None):
     """The WHOLE run's pass chain in ONE program: every pass's multires
     resize + all its layer stages, chained on-device. One dispatch + one
@@ -359,13 +357,13 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
             depths=depths, iters=iters, mode=mode,
             strengths=strengths_all[p], pca_flags=pca_flags_all[p],
             use_pallas=use_pallas, pad_mode=pad_mode,
-            resize_to=resize_to, resize_circular=resize_circular,
-            cov_prop=cov_prop, resize_mats=resize_mats_all[p])
+            resize_to=resize_to, cov_prop=cov_prop,
+            resize_mats=resize_mats_all[p])
     return pastiche
 
 
 _RUN_STATICS = ("depths", "plans", "mode", "strengths_all", "pca_flags_all",
-                "use_pallas", "pad_mode", "resize_circular", "cov_prop")
+                "use_pallas", "pad_mode", "cov_prop")
 # donation applies only when the run's entry shape equals its final shape
 # (the usual case: noise at the target size, internal multires down/up);
 # runs that end at a different size use the non-donating twin
@@ -378,8 +376,7 @@ _run_stages_jit_nodonate = partial(jax.jit,
 def _pass_stages_chunked_impl(enc_params, dec_params, pastiche, targets, key,
                               *, depths, iters, mode: str, pca_flags,
                               n_chunks: int, pad_mode: str = "reflect",
-                              resize_to=None, resize_circular: bool = False,
-                              resize_mats=None):
+                              resize_to=None, resize_mats=None):
     """One pass with the batch micro-batched through the conv stacks.
 
     The batch-256 512px program OOMs on one chip because the codec's
@@ -447,7 +444,6 @@ def _run_stages_chunked_impl(enc_params, dec_params, pastiche, targets_all,
                              run_key, *, depths, plans, mode: str,
                              pca_flags_all, n_chunks: int,
                              pad_mode: str = "reflect",
-                             resize_circular: bool = False,
                              resize_mats_all=None):
     """The whole run's pass chain, batch-chunked (see
     :func:`_pass_stages_chunked_impl`) — still ONE dispatched program."""
@@ -458,13 +454,12 @@ def _run_stages_chunked_impl(enc_params, dec_params, pastiche, targets_all,
             depths=depths, iters=iters, mode=mode,
             pca_flags=pca_flags_all[p], n_chunks=n_chunks,
             pad_mode=pad_mode, resize_to=resize_to,
-            resize_circular=resize_circular,
             resize_mats=resize_mats_all[p])
     return pastiche
 
 
 _RUN_CHUNKED_STATICS = ("depths", "plans", "mode", "pca_flags_all",
-                        "n_chunks", "pad_mode", "resize_circular")
+                        "n_chunks", "pad_mode")
 _run_stages_chunked_jit = partial(
     jax.jit, static_argnames=_RUN_CHUNKED_STATICS,
     donate_argnums=(2,))(_run_stages_chunked_impl)
@@ -1090,7 +1085,13 @@ class Synthesizer:
                 if e[0] is None:
                     e[0] = self._dispatch_style_prep(styles, *prep_args[p])
                 e[1], e[2] = self._choose_widths(e[0])
-                if styles_token is not None:
+                if styles_token is not None and len(styles) == 1:
+                    # multi-style (mixing) entries are NOT persisted under
+                    # low_mem: their finished targets are pass_key-dependent
+                    # (the mask draw), so the cache could only hold the raw
+                    # full-size spectra — pinning the very GB-scale buffers
+                    # the low-memory gate exists to shed. They free at last
+                    # use below; a future tokened run re-preps.
                     self._style_prep_cache[e[3]] = e
             if e[4] is not None:
                 slim = e[4]
@@ -1129,12 +1130,18 @@ class Synthesizer:
             per_pass.append((tuple(adj), tuple(strengths),
                              tuple(int(i) for i in self.iters_table[p]),
                              do_resize, cont_size, pass_key))
+            cached = (styles_token is not None
+                      and self._style_prep_cache.get(e[3]) is e)
             if (low_mem and last_use[id(e)] == p
-                    and (styles_token is None or e[4] is not None)):
+                    and (not cached or e[4] is not None)):
                 # free this pass's raw spectra NOW — mid-run delete RPCs
                 # cost ~5 ms each through the tunnel (the non-low_mem path
                 # defers them to run end for that reason), but here memory
-                # headroom is the whole point
+                # headroom is the whole point. Freed: untokened entries,
+                # tokened single-style entries (their slim targets e[4]
+                # supersede the spectra), and tokened MULTI-STYLE entries
+                # (never inserted under low_mem — see phase C above). Kept:
+                # cache-hit entries whose spectra future runs still need.
                 e[0] = None
             if timing:
                 jax.block_until_ready([t.stats.cov_raw for t in targets])
@@ -1204,8 +1211,7 @@ class Synthesizer:
                     depths=depths, plans=plans, mode=cfg.hist_mode,
                     pca_flags_all=pca_flags_all,
                     n_chunks=pastiche.shape[0] // cfg.batch_chunk,
-                    pad_mode=pad_mode, resize_circular=cfg.tileable,
-                    resize_mats_all=mats_all)
+                    pad_mode=pad_mode, resize_mats_all=mats_all)
             else:
                 run_fn = (_run_stages_jit if donate
                           else _run_stages_jit_nodonate)
@@ -1216,7 +1222,6 @@ class Synthesizer:
                     strengths_all=tuple(s for (_, s, *_) in per_pass),
                     pca_flags_all=pca_flags_all,
                     use_pallas=use_pallas, pad_mode=pad_mode,
-                    resize_circular=cfg.tileable,
                     cov_prop=cfg.cov_propagation,
                     resize_mats_all=mats_all)
         else:
@@ -1270,7 +1275,6 @@ class Synthesizer:
                         pca_flags=tuple(t.eigvecs is not None for t in adj),
                         use_pallas=use_pallas, pad_mode=pad_mode,
                         resize_to=cont_size if do_resize else None,
-                        resize_circular=cfg.tileable,
                         cov_prop=cfg.cov_propagation, resize_mats=mats)
                     if timing:
                         pastiche.block_until_ready()

@@ -379,6 +379,14 @@ def transport_loop(key: jax.Array, feature: jnp.ndarray, stats: StyleStats,
         mu0, cov0 = histmatch.moment_stats(feature)
         b, h, w, _ = feature.shape
         mu_cf, cov_cf = histmatch.moment_stats(content_feature)
+        if content_feature.shape[0] != b:
+            # batched pastiche pulled toward ONE content image: the
+            # per-iteration loop below broadcast `cf - feat` implicitly;
+            # here the cross-covariance and the final affine application
+            # need matching row counts, so materialize the broadcast
+            # (stats above are broadcast-invariant)
+            content_feature = jnp.broadcast_to(content_feature,
+                                               (b, h, w, c))
         fc = (feature - mu0).reshape(-1, c)
         cc = (content_feature - mu_cf).reshape(-1, c)
         cross0 = jnp.matmul(fc.T, cc, precision=HIGHEST) / fc.shape[0]

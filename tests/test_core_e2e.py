@@ -473,3 +473,37 @@ def test_prep_prefetch_estimate_gate():
     plan4k = synth4k._plan_passes((4096, 4096), None)
     assert synth4k._prep_prefetch_bytes(plan4k, big) \
         > core.Synthesizer._PREP_PREFETCH_BYTES
+
+
+def test_low_mem_tokened_mixing_frees_spectra(monkeypatch):
+    """Tokened MIXING requests under the low-memory prep (r4 review
+    finding): multi-style entries cannot cache their finished targets (the
+    mask draw is pass_key-dependent), so persisting them could only pin the
+    GB-scale raw spectra the gate exists to shed. They must be freed at
+    last use and NOT inserted into the cross-run cache — and a repeat
+    request with the same token must still work (re-preps)."""
+    base = dict(size=64, passes=2, iters=6, depth=2, seed=3, batch=1,
+                style=[STYLE, STYLE2], mixing_alpha=0.5)
+    styles2 = [imageio.load_image(p, 64, oversize=False)[:, :64, :64]
+               for p in (STYLE, STYLE2)]
+    noise = jnp.asarray(np.random.default_rng(8).uniform(
+        size=(1, 64, 64, 3)).astype(np.float32))
+
+    monkeypatch.setattr(core.Synthesizer, "_PREP_PREFETCH_BYTES", 0)
+    synth = core.Synthesizer(OptexConfig(**base))
+    out1 = np.asarray(synth.run(noise, styles2, styles_token="mixtok"))
+    # nothing cached (multi-style low_mem entries are not persisted), and
+    # no raw spectra retained anywhere
+    assert len(synth._style_prep_cache) == 0
+    out2 = np.asarray(synth.run(noise, styles2, styles_token="mixtok"))
+    # deterministic reruns with the fixed seed (prep redone, same programs)
+    np.testing.assert_array_equal(out1, out2)
+
+    # single-style tokened low_mem runs still cache their slim targets
+    # (spectra freed, e[4] kept) — the serving fast path survives
+    synth1 = core.Synthesizer(OptexConfig(
+        size=64, passes=2, iters=6, depth=2, seed=3, batch=1, style=[STYLE]))
+    synth1.run(noise, [styles2[0]], styles_token="single")
+    assert len(synth1._style_prep_cache) > 0
+    for e in synth1._style_prep_cache.values():
+        assert e[0] is None and e[4] is not None

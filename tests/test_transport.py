@@ -242,3 +242,30 @@ def test_composed_chain_single_iteration_exactness(rng):
     want = np.asarray(transport._moment_step_with_rot(rot, feat, stats,
                                                       "chol", 1.0))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_composed_content_pull_broadcasts_single_content(rng):
+    """run() is public API: a batched pastiche with ONE content image used
+    to work through the per-iteration loop's implicit (1,H,W,C) broadcast.
+    The composed content branch must broadcast too (r4 regression: the
+    cross-covariance GEMM saw mismatched row counts and failed at trace)."""
+    from optimaltextures_tpu.ops.rotation import stage_rotations
+
+    key = jax.random.key(23)
+    n_iters, s = 8, 0.25
+    feat = jnp.asarray(rng.normal(1.0, 2.0, (3, 10, 10, 6)).astype(np.float32))
+    content = jnp.asarray(rng.normal(0.5, 1.0, (1, 10, 10, 6)).astype(np.float32))
+    style = jnp.asarray(rng.normal(-0.5, 1.5, (1, 9, 9, 6)).astype(np.float32))
+    stats = transport.style_stats(style, need_samples=False)
+
+    got = np.asarray(transport.transport_loop(
+        key, feat, stats, n_iters, "chol",
+        content_feature=content, content_strength=s))
+
+    rotations = stage_rotations(key, n_iters, 6)
+    oracle = feat
+    for i in range(n_iters):
+        oracle = transport._moment_step_with_rot(rotations[i], oracle, stats,
+                                                 "chol", 1.0)
+        oracle = oracle + s * (content - oracle)   # implicit broadcast
+    np.testing.assert_allclose(got, np.asarray(oracle), rtol=5e-3, atol=5e-3)
