@@ -5,7 +5,10 @@ a given (size, passes, iters, mode, ...) signature compiles; subsequent
 requests reuse the cached ``Synthesizer`` (and XLA's persistent compilation
 cache makes even cold processes cheap). With ``--workers N`` requests run
 concurrently, one per chip; each worker is single-stream behind its own
-lock. See docs/SERVING.md for the production guide.
+lock. Under load, unseeded same-style synthesis requests that queue behind
+a busy worker coalesce into ONE batched program (``--coalesce``, see
+RequestCoalescer — batch 8 sustains ~5x the single-image rate on a v5e).
+See docs/SERVING.md for the production guide.
 
     python -m optimaltextures_tpu.serve --port 8700 --workers 4
 
@@ -184,6 +187,25 @@ def _maybe_export_pack(synth, token: str, n_styles: int) -> None:
         pass
 
 
+class _Request:
+    """A parsed, validated request — everything _execute needs, no jax work
+    done yet. Split out of handle_synthesize so the coalescer can inspect a
+    request (batchable? cohort key?) before any device time is spent."""
+
+    __slots__ = ("cfg", "styles", "content", "init", "fmt", "style_parallel",
+                 "token")
+
+    def __init__(self, cfg, styles, content, init, fmt, style_parallel,
+                 token):
+        self.cfg = cfg
+        self.styles = styles
+        self.content = content
+        self.init = init
+        self.fmt = fmt
+        self.style_parallel = style_parallel
+        self.token = token
+
+
 def handle_synthesize(pool: SynthesizerPool, payload: dict,
                       config_defaults: dict | None = None):
     """Run one request; returns (content_type, body bytes).
@@ -194,6 +216,13 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
     body. ``config_defaults``: operator-set config values applied when the
     request omits the field (e.g. ``{"pca_bucket": 32}`` so unseen styles
     reuse compiled stage programs). Raises ValueError on bad input."""
+    return _execute(pool, _parse_request(payload, config_defaults))
+
+
+def _parse_request(payload: dict,
+                   config_defaults: dict | None = None) -> _Request:
+    """Decode + validate one request body into a _Request (host work only —
+    PIL decodes, config validation, the style token). Raises ValueError."""
     cfg_args = dict(config_defaults or {})
     cfg_args.update({k: v for k, v in payload.get("config", {}).items()
                      if k in _CONFIG_FIELDS})
@@ -255,20 +284,28 @@ def handle_synthesize(pool: SynthesizerPool, payload: dict,
     import hashlib
 
     token = hashlib.sha256("\x00".join(styles_b64).encode()).hexdigest()[:24]
+    return _Request(cfg, styles, content, init, fmt, style_parallel, token)
 
-    with pool.lock:
-        import contextlib
 
-        import jax
+def _device_cm(pool):
+    """Pin this worker's arrays + compute to its chip in multi-worker mode
+    (jax.default_device is a thread-local context)."""
+    import contextlib
 
-        # multi-worker mode: pin this worker's arrays + compute to its chip
-        # (jax.default_device is a thread-local context)
-        dev_cm = (jax.default_device(pool.device) if pool.device is not None
-                  else contextlib.nullcontext())
-        with dev_cm:
-            if style_parallel:
-                return _run_style_parallel_locked(pool, cfg, styles, fmt)
-            return _run_locked(pool, cfg, styles, content, init, token, fmt)
+    import jax
+
+    return (jax.default_device(pool.device) if pool.device is not None
+            else contextlib.nullcontext())
+
+
+def _execute(pool: SynthesizerPool, req: _Request):
+    """The device-touching half of one request: (content_type, body)."""
+    with pool.lock, _device_cm(pool):
+        if req.style_parallel:
+            return _run_style_parallel_locked(pool, req.cfg, req.styles,
+                                              req.fmt)
+        return _run_locked(pool, req.cfg, req.styles, req.content, req.init,
+                           req.token, req.fmt)
 
 
 def _run_locked(pool, cfg, styles, content, init, token, fmt="png"):
@@ -381,6 +418,149 @@ def _run_style_parallel_locked(pool, cfg, styles, fmt="png"):
     return _encode_batch(_fetch_uint8(out), fmt)
 
 
+def _batchable(req: _Request) -> bool:
+    """Can this request join a coalesced cohort?  Only unseeded single-image
+    synthesis from ONE style: a seeded request promises byte-identical
+    reruns (batch composition would break that), content/init define a
+    per-request pastiche, mixing draws one mask per RUN (cohort members
+    would share a region layout), and multi-device configs own the whole
+    chip set already."""
+    return (not req.style_parallel and req.content is None
+            and req.init is None and req.cfg.seed is None
+            and req.cfg.batch == 1 and len(req.styles) == 1
+            and req.cfg.num_devices == 1 and req.cfg.spatial_devices == 1)
+
+
+def _pad_cohort(n: int) -> int:
+    """Round a cohort up to the next power of two.  Each distinct batch size
+    is its own compiled program (and pool entry); padding keeps the program
+    count at log2(max) instead of max — through a remote-compile tunnel a
+    fresh compile costs minutes, a padded noise image costs milliseconds."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _execute_cohort(pool: SynthesizerPool, members: list):
+    """Run a coalesced cohort as ONE batched synthesis; returns one
+    (content_type, body) per member, in order.
+
+    Cohort semantics are exactly the documented batch semantics (the members
+    share the run's rotation stream and the exact joint batch statistics —
+    the same program a ``config.batch=N`` request compiles); each member
+    gets its own noise image and its own independently-encoded response."""
+    import jax
+    import jax.numpy as jnp
+
+    base = members[0].req
+    n = len(members)
+    padded = _pad_cohort(n)
+    cfg = dataclasses.replace(base.cfg, batch=padded)
+    with pool.lock, _device_cm(pool):
+        synth = pool.get(cfg)
+        _maybe_import_pack(synth, base.token)
+        run_key = synth.next_run_key()
+        shape = (padded, cfg.size, cfg.out_width or cfg.size, 3)
+        noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
+                                   dtype=jnp.float32)
+        out = synth.run(noise, base.styles, None, key=run_key,
+                        styles_token=base.token)
+        batch = _fetch_uint8(out)
+        _maybe_export_pack(synth, base.token, n_styles=len(base.styles))
+    return [_encode_batch(batch[i:i + 1], m.req.fmt)
+            for i, m in enumerate(members)]
+
+
+class _CohortMember:
+    __slots__ = ("req", "event", "result", "error")
+
+    def __init__(self, req: _Request):
+        self.req = req
+        self.event = threading.Event()
+        self.result = None   # (content_type, body, worker_idx, cohort_n)
+        self.error = None
+
+
+class RequestCoalescer:
+    """Queue-time dynamic batching (extension — the reference is a CLI
+    script; a serving layer has no analogue there).
+
+    A single 512px synthesis runs at ~3.6 img/s on one v5e while the same
+    chip sustains ~20 img/s at batch 8 (docs/PERF.md r4 saturation table) —
+    so under load, running queued requests one-at-a-time wastes ~5x of the
+    chip.  This coalescer batches at the point the queue already exists:
+    an eligible request (see _batchable) registers an open cohort keyed by
+    (jit signature, style token) and blocks in ``workers.checkout()``;
+    compatible requests that arrive while it waits join the cohort instead
+    of queueing behind it.  When a worker frees, the leader closes the
+    cohort and runs ALL members as one batched program.  When the server is
+    idle, checkout returns immediately and the cohort is size 1 — ZERO
+    added latency; there is no arrival-window timer to tune."""
+
+    WAIT_TIMEOUT_S = 3600.0   # follower safety net (covers a cold compile)
+
+    def __init__(self, workers: "WorkerSet", max_batch: int = 8):
+        self.workers = workers
+        self.max_batch = max_batch
+        self.lock = threading.Lock()
+        self._open: dict = {}          # cohort key -> list[_CohortMember]
+        # metrics (read by WorkerSet.metrics_text under this lock)
+        self.coalesced_cohorts = 0     # cohorts with 2+ members
+        self.coalesced_requests = 0    # members served via such cohorts
+
+    def submit(self, req: _Request):
+        """Serve one batchable request; returns (content_type, body,
+        worker_idx, cohort_n).  Blocks until a worker runs its cohort."""
+        key = (self.workers.pools[0]._sig(req.cfg), req.token)
+        member = _CohortMember(req)
+        with self.lock:
+            cohort = self._open.get(key)
+            if cohort is not None and len(cohort) < self.max_batch:
+                cohort.append(member)
+                leader = False
+            else:
+                # no open cohort (or it's full: roll over to a fresh one —
+                # the full list stays owned by ITS leader, who holds a
+                # direct reference; this member leads the new cohort)
+                cohort = [member]
+                self._open[key] = cohort
+                leader = True
+        if not leader:
+            if not member.event.wait(self.WAIT_TIMEOUT_S):
+                raise RuntimeError("coalesced request timed out waiting "
+                                   "for its cohort leader")
+            if member.error is not None:
+                raise member.error
+            return member.result
+        # Leader: wait for a worker — followers accumulate in the open
+        # cohort exactly while this blocks — then close the cohort (under
+        # the lock, so no member can join after the snapshot) and run it.
+        idx = self.workers.checkout()
+        with self.lock:
+            if self._open.get(key) is cohort:
+                del self._open[key]
+            members = list(cohort)
+        try:
+            bodies = _execute_cohort(self.workers.pools[idx], members)
+            for m, (ctype, body) in zip(members, bodies):
+                m.result = (ctype, body, idx, len(members))
+        except Exception as e:
+            for m in members:
+                m.error = e
+        finally:
+            self.workers.checkin(idx)
+            for m in members:
+                m.event.set()
+        if member.error is not None:
+            raise member.error
+        if len(members) > 1:
+            with self.lock:
+                self.coalesced_cohorts += 1
+                self.coalesced_requests += len(members)
+        return member.result
+
+
 # 8 styles + content + init as base64 PNGs comfortably fit (8 x ~8 MB
 # 2048px PNGs x 4/3 b64 ~ 90 MB worst case); anything bigger is a mistake or
 # abuse. Bodies are read fully into memory, so concurrent reads are ALSO
@@ -459,7 +639,7 @@ class WorkerSet:
                 self.request_seconds_sum += seconds
                 self.request_seconds_count += 1
 
-    def metrics_text(self) -> str:
+    def metrics_text(self, coalescer=None) -> str:
         with self.metrics_lock:
             lines = ["# TYPE optex_requests_total counter"]
             for k, v in self.requests_total.items():
@@ -473,6 +653,16 @@ class WorkerSet:
                 "# TYPE optex_cached_synthesizers gauge",
                 f"optex_cached_synthesizers {len(self)}",
             ]
+        if coalescer is not None:
+            with coalescer.lock:
+                lines += [
+                    "# TYPE optex_coalesced_cohorts_total counter",
+                    f"optex_coalesced_cohorts_total "
+                    f"{coalescer.coalesced_cohorts}",
+                    "# TYPE optex_coalesced_requests_total counter",
+                    f"optex_coalesced_requests_total "
+                    f"{coalescer.coalesced_requests}",
+                ]
         return "\n".join(lines) + "\n"
 
     def checkout(self):
@@ -485,7 +675,8 @@ class WorkerSet:
         return sum(len(p) for p in self.pools)
 
 
-def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
+def make_handler(workers: WorkerSet, config_defaults: dict | None = None,
+                 coalescer: RequestCoalescer | None = None):
     body_read_sem = threading.BoundedSemaphore(
         max(_MAX_CONCURRENT_BODY_READS, 2 * len(workers.pools)))
 
@@ -514,7 +705,7 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                                  "cached": len(workers),
                                  "workers": len(workers.pools)})
             elif self.path == "/metrics":
-                body = workers.metrics_text().encode()
+                body = workers.metrics_text(coalescer).encode()
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "text/plain; version=0.0.4")
@@ -563,10 +754,22 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
             # monotonic + started before checkout: the latency summary must
             # expose queue wait (saturation is what an operator watches for)
             t0 = time.monotonic()
-            idx = workers.checkout()
             try:
-                ctype, body = handle_synthesize(workers.pools[idx], payload,
-                                                config_defaults)
+                req = _parse_request(payload, config_defaults)
+            except (ValueError, TypeError, KeyError) as e:
+                workers.record("client_error", 0.0)
+                self._json(400, {"error": str(e)})
+                return
+            cohort_n = 1
+            try:
+                if coalescer is not None and _batchable(req):
+                    ctype, body, idx, cohort_n = coalescer.submit(req)
+                else:
+                    idx = workers.checkout()
+                    try:
+                        ctype, body = _execute(workers.pools[idx], req)
+                    finally:
+                        workers.checkin(idx)
             except (ValueError, TypeError, KeyError) as e:
                 workers.record("client_error", 0.0)
                 self._json(400, {"error": str(e)})
@@ -575,13 +778,13 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
                 workers.record("server_error", 0.0)
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            finally:
-                workers.checkin(idx)
             workers.record("ok", time.monotonic() - t0)
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Optex-Worker", str(idx))
+            if cohort_n > 1:
+                self.send_header("X-Optex-Cohort", str(cohort_n))
             self.end_headers()
             self.wfile.write(body)
 
@@ -589,13 +792,21 @@ def make_handler(workers: WorkerSet, config_defaults: dict | None = None):
 
 
 def serve(port: int = 8700, host: str = "127.0.0.1", workers: int = 1,
-          config_defaults: dict | None = None) -> ThreadingHTTPServer:
+          config_defaults: dict | None = None,
+          coalesce: int = 8) -> ThreadingHTTPServer:
+    """``coalesce``: max cohort size for queue-time request batching
+    (RequestCoalescer); 1 disables it (every request runs alone)."""
     if config_defaults:
         bad = set(config_defaults) - _CONFIG_FIELDS
         if bad:
             raise ValueError(f"unknown config defaults: {sorted(bad)}")
+    if coalesce < 1:
+        raise ValueError(f"coalesce must be >= 1, got {coalesce}")
+    worker_set = WorkerSet(workers)
+    coalescer = (RequestCoalescer(worker_set, coalesce) if coalesce > 1
+                 else None)
     server = ThreadingHTTPServer(
-        (host, port), make_handler(WorkerSet(workers), config_defaults))
+        (host, port), make_handler(worker_set, config_defaults, coalescer))
     return server
 
 
@@ -610,6 +821,12 @@ def main() -> None:
                         "concurrently on N devices (use with single-device "
                         "request configs; num_devices/spatial_devices "
                         "requests share the whole device set)")
+    p.add_argument("--coalesce", type=int, default=8,
+                   help="max cohort size for queue-time request batching: "
+                        "unseeded single-image synthesis requests for the "
+                        "same style+config that queue behind a busy worker "
+                        "run as ONE batched program (batch-8 sustains ~5x "
+                        "the single-image rate on a v5e); 1 disables")
     p.add_argument("--config_default", action="append", default=[],
                    metavar="KEY=JSON",
                    help="operator default for a config field applied when a "
@@ -625,7 +842,8 @@ def main() -> None:
             defaults[k] = json.loads(v)
         except json.JSONDecodeError:
             defaults[k] = v  # bare string convenience
-    server = serve(args.port, args.host, args.workers, defaults or None)
+    server = serve(args.port, args.host, args.workers, defaults or None,
+                   coalesce=args.coalesce)
     print(f"optex-tpu serving on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
 

@@ -781,3 +781,259 @@ def test_bake_packs_tool(tmp_path, monkeypatch):
         "style_b64": [_style_b64()],
     })
     assert calls == []           # warm-started entirely from the baked pack
+
+
+# ---------------------------------------------------------------------------
+# Queue-time request coalescing (RequestCoalescer)
+
+
+def _internals(srv):
+    """Reach the WorkerSet + RequestCoalescer held by the handler closure."""
+    ws = co = None
+    for cell in srv.RequestHandlerClass.do_POST.__closure__ or []:
+        v = cell.cell_contents
+        if isinstance(v, serve.WorkerSet):
+            ws = v
+        if isinstance(v, serve.RequestCoalescer):
+            co = v
+    assert ws is not None
+    return ws, co
+
+
+def _batchable_payload(**cfg_extra):
+    cfg = {"size": 64, "passes": 1, "iters": 2, "no_multires": True,
+           "depth": 1}
+    cfg.update(cfg_extra)
+    return {"config": cfg, "style_b64": [_style_b64()]}
+
+
+def test_pad_cohort():
+    assert [serve._pad_cohort(n) for n in (1, 2, 3, 4, 5, 7, 8)] == \
+        [1, 2, 4, 4, 8, 8, 8]
+
+
+def test_batchable_eligibility():
+    base = serve._parse_request(_batchable_payload())
+    assert serve._batchable(base)
+    for bad in ({"seed": 3}, {"batch": 2}, {"num_devices": 2, "batch": 2}):
+        req = serve._parse_request(_batchable_payload(**bad))
+        assert not serve._batchable(req), bad
+    two = serve._parse_request({**_batchable_payload(),
+                                "style_b64": [_style_b64(), _style_b64()]})
+    assert not serve._batchable(two)
+    withc = serve._parse_request({**_batchable_payload(),
+                                  "content_b64": _style_b64()})
+    assert not serve._batchable(withc)
+
+
+def test_coalescer_merges_queued_requests(monkeypatch):
+    """3 requests queued behind a busy worker run as ONE cohort: the stub
+    runner sees a single call with all 3 members; every member gets its
+    own (result, worker, cohort_n)."""
+    import concurrent.futures
+
+    ws = serve.WorkerSet(1)
+    co = serve.RequestCoalescer(ws, max_batch=8)
+    calls = []
+
+    def fake_cohort(pool, members):
+        calls.append(len(members))
+        return [("image/png", f"img{i}".encode())
+                for i in range(len(members))]
+
+    monkeypatch.setattr(serve, "_execute_cohort", fake_cohort)
+    req = serve._parse_request(_batchable_payload())
+
+    hold = ws.checkout()          # make the single worker busy
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(co.submit, req) for _ in range(3)]
+        # wait until the leader is parked in checkout() and both followers
+        # joined the open cohort
+        import time as _t
+        for _ in range(200):
+            with co.lock:
+                if co._open and len(next(iter(co._open.values()))) == 3:
+                    break
+            _t.sleep(0.01)
+        ws.checkin(hold)          # release the worker -> cohort runs
+        results = [f.result(timeout=30) for f in futs]
+
+    assert calls == [3]
+    assert sorted(body for _, body, _, _ in results) == \
+        [b"img0", b"img1", b"img2"]
+    assert all(n == 3 for _, _, _, n in results)
+    assert co.coalesced_cohorts == 1 and co.coalesced_requests == 3
+
+
+def test_coalescer_rollover_past_max_batch(monkeypatch):
+    """max_batch=2 with 3 queued requests: one cohort of 2 + one of 1, all
+    served; the full cohort's members are NOT orphaned by the rollover."""
+    import concurrent.futures
+
+    ws = serve.WorkerSet(1)
+    co = serve.RequestCoalescer(ws, max_batch=2)
+    calls = []
+
+    def fake_cohort(pool, members):
+        calls.append(len(members))
+        return [("image/png", b"x")] * len(members)
+
+    monkeypatch.setattr(serve, "_execute_cohort", fake_cohort)
+    req = serve._parse_request(_batchable_payload())
+
+    hold = ws.checkout()
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(co.submit, req) for _ in range(3)]
+        import time as _t
+        for _ in range(200):
+            with co.lock:
+                total = sum(len(v) for v in co._open.values())
+            if total == 3:
+                break
+            _t.sleep(0.01)
+        ws.checkin(hold)
+        results = [f.result(timeout=30) for f in futs]
+
+    assert sorted(calls) == [1, 2]
+    assert len(results) == 3
+    assert co.coalesced_cohorts == 1 and co.coalesced_requests == 2
+
+
+def test_coalescer_error_propagates_to_all_members(monkeypatch):
+    """A failing cohort run must fail EVERY member (no hung followers)."""
+    import concurrent.futures
+
+    ws = serve.WorkerSet(1)
+    co = serve.RequestCoalescer(ws, max_batch=8)
+
+    def boom(pool, members):
+        raise ValueError("bad cohort")
+
+    monkeypatch.setattr(serve, "_execute_cohort", boom)
+    req = serve._parse_request(_batchable_payload())
+
+    hold = ws.checkout()
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(co.submit, req) for _ in range(2)]
+        import time as _t
+        for _ in range(200):
+            with co.lock:
+                if co._open and len(next(iter(co._open.values()))) == 2:
+                    break
+            _t.sleep(0.01)
+        ws.checkin(hold)
+        errs = []
+        for f in futs:
+            with pytest.raises(ValueError, match="bad cohort"):
+                f.result(timeout=30)
+            errs.append(1)
+    assert errs == [1, 1]
+    # the worker must be back in the queue after a failed cohort
+    idx = ws.checkout()
+    ws.checkin(idx)
+
+
+def test_coalesced_http_requests_end_to_end():
+    """Real HTTP burst against one busy worker: queued unseeded same-style
+    requests coalesce (X-Optex-Cohort), produce DISTINCT valid PNGs, and
+    the metrics counters record the cohort."""
+    import concurrent.futures
+
+    srv = serve.serve(port=0, workers=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        ws, co = _internals(srv)
+        assert co is not None
+
+        payload = _batchable_payload()
+
+        def post():
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.headers.get("X-Optex-Cohort"), r.read()
+
+        hold = ws.checkout()      # park the only worker
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            futs = [ex.submit(post) for _ in range(3)]
+            import time as _t
+            for _ in range(500):
+                with co.lock:
+                    if co._open and \
+                            len(next(iter(co._open.values()))) == 3:
+                        break
+                _t.sleep(0.01)
+            ws.checkin(hold)
+            results = [f.result(timeout=120) for f in futs]
+
+        assert [c for c, _ in results] == ["3", "3", "3"]
+        pngs = [b for _, b in results]
+        assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for p in pngs)
+        assert len(set(pngs)) == 3, "cohort members must get DISTINCT images"
+
+        with urllib.request.urlopen(f"{url}/metrics") as r:
+            text = r.read().decode()
+        assert "optex_coalesced_requests_total 3" in text
+        assert "optex_coalesced_cohorts_total 1" in text
+
+        # an idle-server request does NOT coalesce and has no cohort header
+        c, png = post()
+        assert c is None and png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.shutdown()
+
+
+def test_seeded_request_bypasses_coalescer():
+    """A seeded request never joins a cohort (byte-identical rerun contract)
+    even when it queues behind a busy worker alongside batchable traffic."""
+    import concurrent.futures
+
+    srv = serve.serve(port=0, workers=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        ws, co = _internals(srv)
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"{url}/v1/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.headers.get("X-Optex-Cohort"), r.read()
+
+        seeded = _batchable_payload(seed=11)
+        _, solo = post(seeded)    # warm + reference bytes, idle server
+
+        hold = ws.checkout()
+        with concurrent.futures.ThreadPoolExecutor(3) as ex:
+            fut_seeded = ex.submit(post, seeded)
+            fut_a = ex.submit(post, _batchable_payload())
+            fut_b = ex.submit(post, _batchable_payload())
+            import time as _t
+            _t.sleep(0.3)         # let all three park
+            ws.checkin(hold)
+            ch, seeded_bytes = fut_seeded.result(timeout=120)
+            ra = fut_a.result(timeout=120)
+            rb = fut_b.result(timeout=120)
+
+        assert ch is None, "seeded request must not be coalesced"
+        assert seeded_bytes == solo, "seeded bytes must not depend on load"
+        assert all(r[1][:8] == b"\x89PNG\r\n\x1a\n" for r in (ra, rb))
+    finally:
+        srv.shutdown()
+
+
+def test_execute_cohort_runs_real_batch():
+    """_execute_cohort on a real pool: 3 members (padded batch 4) come back
+    as 3 distinct single-image PNG responses."""
+    pool = serve.SynthesizerPool()
+    req = serve._parse_request(_batchable_payload())
+    members = [serve._CohortMember(req) for _ in range(3)]
+    bodies = serve._execute_cohort(pool, members)
+    assert len(bodies) == 3
+    assert all(ct == "image/png" for ct, _ in bodies)
+    assert len({b for _, b in bodies}) == 3
