@@ -456,11 +456,38 @@ def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     return sort_match_rows(t, s).T.reshape(bt, h, w, c)
 
 
+# Above this many elements in the (C, Nt) target cloud the per-channel sorts
+# run in channel blocks through lax.map so the multi-operand sort buffers stay
+# bounded (a monolithic batch-32 512px sort cloud — ~700M elements with its
+# iota/value operands — faulted the device at compile). 192M elements keeps
+# the historical batch<=8 shapes on the one-program path.
+_SORT_BLOCK_ELEMS = 192 * 1024 * 1024
+
+
 def sort_match_rows(t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Row-major core of :func:`sort_match`: t (C, Nt) matched to s (C, Ns)
     per row, returned in t's original sample order. Also the building block
     of the DISTRIBUTED sort mode (parallel/shard_ot._sort_step_sharded),
-    which all-gathers the sample axis and slices its shard back out."""
+    which all-gathers the sample axis and slices its shard back out.
+
+    Clouds past ``_SORT_BLOCK_ELEMS`` process channel blocks sequentially
+    (lax.map): rows are independent, so the math is identical — it only
+    bounds the live sort-buffer footprint (the capacity story of
+    --batch_chunk, applied to the sample-cloud modes)."""
+    c, nt = t.shape
+    if c > 1 and c * nt > _SORT_BLOCK_ELEMS:
+        rows = max(1, _SORT_BLOCK_ELEMS // max(nt, 1))
+        nblk = -(-c // rows)
+        pad = nblk * rows - c
+        tb = jnp.pad(t, ((0, pad), (0, 0))).reshape(nblk, rows, nt)
+        sb = jnp.pad(s, ((0, pad), (0, 0))).reshape(nblk, rows, s.shape[1])
+        out = jax.lax.map(lambda ts: _sort_match_rows_impl(ts[0], ts[1]),
+                          (tb, sb))
+        return out.reshape(nblk * rows, nt)[:c]
+    return _sort_match_rows_impl(t, s)
+
+
+def _sort_match_rows_impl(t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     import numpy as np
 
     nt, ns = t.shape[1], s.shape[1]

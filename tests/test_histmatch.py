@@ -184,6 +184,18 @@ def test_sort_match_ties_and_oracle(rng):
     np.testing.assert_array_equal(got.reshape(-1, 4), want)
 
 
+def test_sort_match_rows_blocked_equals_monolithic(rng, monkeypatch):
+    """Channel-blocked sorts (the big-cloud capacity path, including a block
+    count that does NOT divide C so the pad rows are exercised) must be
+    bit-identical to the one-program path."""
+    t = np.round(rng.normal(0, 1, (5, 4096)).astype(np.float32), 2)  # ties
+    s = np.round(rng.normal(0.5, 2, (5, 1777)).astype(np.float32), 2)
+    want = np.asarray(histmatch.sort_match_rows(jnp.asarray(t), jnp.asarray(s)))
+    monkeypatch.setattr(histmatch, "_SORT_BLOCK_ELEMS", 2 * 4096)  # 2-row blocks
+    got = np.asarray(histmatch.sort_match_rows(jnp.asarray(t), jnp.asarray(s)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_style_factor_precompute_matches_full_transform(rng):
     """style_congruence_batch + style_factor_batch + moment_transform_pre
     must reproduce moment_transform exactly for every mode — the loop-body
