@@ -27,6 +27,7 @@ sample-sized GEMMs than re-encoding the style every iteration.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -460,8 +461,11 @@ def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
 # run in channel blocks through lax.map so the multi-operand sort buffers stay
 # bounded (a monolithic batch-32 512px sort cloud — ~700M elements with its
 # iota/value operands — faulted the device at compile). 192M elements keeps
-# the historical batch<=8 shapes on the one-program path.
-_SORT_BLOCK_ELEMS = 192 * 1024 * 1024
+# the historical batch<=8 shapes on the one-program path. Env-overridable
+# (read at import, like OPTEX_NO_COV_PROP's trace-time read) for capacity
+# tuning on other chip generations.
+_SORT_BLOCK_ELEMS = int(os.environ.get(
+    "OPTEX_SORT_BLOCK_ELEMS", 192 * 1024 * 1024))
 
 
 def sort_match_rows(t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
