@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import config as config_mod
 from . import transport
 from .config import OptexConfig
 
@@ -341,7 +342,8 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
                      *, depths, plans, mode: str, strengths_all,
                      pca_flags_all, use_pallas=None,
                      pad_mode: str = "reflect", cov_prop: bool = True,
-                     resize_mats_all=None):
+                     resize_mats_all=None, content_px=None,
+                     color_mode=None, quantize: bool = False):
     """The WHOLE run's pass chain in ONE program: every pass's multires
     resize + all its layer stages, chained on-device. One dispatch + one
     final sync per run where the per-pass path pays 5 dispatches + the
@@ -349,7 +351,14 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
     device-bound (docs/PERF.md r3 trace), so the fusion is the warm-path
     floor. ``plans``: per-pass (resize_to | None, iters tuple);
     ``resize_mats_all``: the matching per-pass (wh, ww) weight arrays (see
-    _pass_stages_impl — runtime args, never HLO constants)."""
+    _pass_stages_impl — runtime args, never HLO constants).
+
+    ``color_mode`` ("lum" | "opt", with ``content_px`` the raw content
+    pixels) folds the color-transfer tail (optex.py:124-138) INTO the run
+    program — the tail previously ran as 1-2 extra dispatches after the
+    fused run (VERDICT r4 #3); same ops, same PRNG stream
+    (fold_in(run_key, 0xC0102)) as the standalone _lum_target_jit /
+    _pixel_ot_jit pair the per-pass timing path still uses."""
     for p, (resize_to, iters) in enumerate(plans):
         pastiche = _pass_stages_impl(
             enc_params, dec_params, pastiche, targets_all[p],
@@ -359,11 +368,32 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
             use_pallas=use_pallas, pad_mode=pad_mode,
             resize_to=resize_to, cov_prop=cov_prop,
             resize_mats=resize_mats_all[p])
+    if color_mode is not None:
+        target = colors.swap_lightness(content_px, pastiche)
+        if color_mode == "opt":
+            key = jax.random.fold_in(run_key, 0xC0102)
+            samples = target.reshape(-1, target.shape[-1])
+
+            def body(i, img):
+                return transport.ot_step_cdf(jax.random.fold_in(key, i), img,
+                                             samples, use_pallas)
+
+            pastiche = jax.lax.fori_loop(0, 3, body, pastiche)
+        else:  # "lum"
+            pastiche = target
+    if quantize:
+        # serving fast path: PNG-ready uint8 leaves the program directly
+        # (same IEEE f32 ops as imageio.save_images' host formula, so the
+        # response bytes are unchanged — serve._fetch_uint8, r4), saving
+        # the separate quantize dispatch AND 4x the fetch bytes
+        return (jnp.clip(pastiche, 0.0, 1.0) * 255.0 + 0.5
+                ).astype(jnp.uint8)
     return pastiche
 
 
 _RUN_STATICS = ("depths", "plans", "mode", "strengths_all", "pca_flags_all",
-                "use_pallas", "pad_mode", "cov_prop")
+                "use_pallas", "pad_mode", "cov_prop", "color_mode",
+                "quantize")
 # donation applies only when the run's entry shape equals its final shape
 # (the usual case: noise at the target size, internal multires down/up);
 # runs that end at a different size use the non-donating twin
@@ -566,6 +596,12 @@ def _pixel_ot_jit(pastiche, target, key, *, n_iters: int, use_pallas=None):
 
 
 _lum_target_jit = jax.jit(colors.swap_lightness)
+
+# PNG-ready quantize, the exact IEEE ops of imageio.save_images' host
+# formula (serve's response path; also the non-fused tail of
+# run(quantize_uint8=True))
+_quant_u8_jit = jax.jit(
+    lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
 
 
 def _styles_fingerprint(styles) -> str:
@@ -803,11 +839,16 @@ class Synthesizer:
         return plan
 
     # All-pass prefetch budget: above it run() switches to the sequential
-    # low-memory prep. Sized for 16 GB HBM (v5e); OPTEX_PREP_PREFETCH_GB
-    # overrides for other parts (read at import; a class attribute so tests
-    # can monkeypatch the gate).
-    _PREP_PREFETCH_BYTES = int(
-        float(os.environ.get("OPTEX_PREP_PREFETCH_GB", 4)) * 2 ** 30)
+    # low-memory prep. Sized for 16 GB HBM (v5e). None = resolve
+    # OPTEX_PREP_PREFETCH_GB at RUN time through config.prep_prefetch_bytes()
+    # (the unified knob-latching rule — config.py owns the story); a class
+    # attribute so tests can pin the gate.
+    _PREP_PREFETCH_BYTES = None
+
+    def _prep_budget_bytes(self) -> int:
+        return (self._PREP_PREFETCH_BYTES
+                if self._PREP_PREFETCH_BYTES is not None
+                else config_mod.prep_prefetch_bytes())
 
     def _prep_prefetch_bytes(self, plan, styles) -> int:
         """Static estimate of the all-pass style-prep footprint: the f32
@@ -939,8 +980,15 @@ class Synthesizer:
     # -- main loop -------------------------------------------------------------
 
     def run(self, pastiche, styles, content=None, verbose: bool = False,
-            key: Optional[jax.Array] = None, styles_token=None):
+            key: Optional[jax.Array] = None, styles_token=None,
+            quantize_uint8: bool = False):
         """Full synthesis/transfer. Inputs are NHWC float32 jnp/np arrays.
+
+        ``quantize_uint8``: return PNG-ready uint8 instead of float32 —
+        quantized ON DEVICE with the exact IEEE ops of the host save
+        formula (clip -> *255 + 0.5 -> truncating cast). On the fused
+        single-device path the quantize runs inside the run program (zero
+        extra dispatches); other paths append one quantize dispatch.
 
         ``key`` overrides the run's PRNG key (callers that also draw the
         input noise pass the same per-request key for a self-consistent run);
@@ -1005,7 +1053,7 @@ class Synthesizer:
         # their last use, trading the single batched k-drain for a few
         # per-pass fetches (irrelevant at these walls)
         low_mem = (self._prep_prefetch_bytes(plan, styles)
-                   > self._PREP_PREFETCH_BYTES)
+                   > self._prep_budget_bytes())
         entries = []        # one per pass: [spectra, widths, masks]
         pending = []        # entries whose k-decision hasn't run yet
         local = {}
@@ -1165,6 +1213,7 @@ class Synthesizer:
         dec_all = tuple(self.bank.dec_params[d] for d in self.layer_depths)
         depths = tuple(self.layer_depths)
         pad_mode = "wrap" if cfg.tileable else "reflect"
+        color_done = False  # True when the fused run program applied the tail
         if (self.mesh is None and self.space_mesh is None
                 and self.grid_mesh is None and not timing):
             plans = tuple(((cs if rs else None), iters)
@@ -1213,7 +1262,15 @@ class Synthesizer:
                     n_chunks=pastiche.shape[0] // cfg.batch_chunk,
                     pad_mode=pad_mode, resize_mats_all=mats_all)
             else:
-                run_fn = (_run_stages_jit if donate
+                # fold the color-transfer tail into the run program (one
+                # dispatch total — VERDICT r4 #3); the per-pass timing /
+                # sharded paths below keep the standalone tail dispatches
+                fused_color = cfg.color_transfer
+                if fused_color is not None and content is None:
+                    raise ValueError("Color transfer requires content image")
+                # a quantized (uint8) output can't alias the f32 input
+                # buffer, so donation would only warn — use the twin
+                run_fn = (_run_stages_jit if donate and not quantize_uint8
                           else _run_stages_jit_nodonate)
                 pastiche = run_fn(
                     enc_all, dec_all, pastiche,
@@ -1223,7 +1280,10 @@ class Synthesizer:
                     pca_flags_all=pca_flags_all,
                     use_pallas=use_pallas, pad_mode=pad_mode,
                     cov_prop=cfg.cov_propagation,
-                    resize_mats_all=mats_all)
+                    resize_mats_all=mats_all,
+                    content_px=content if fused_color is not None else None,
+                    color_mode=fused_color, quantize=quantize_uint8)
+                color_done = fused_color is not None
         else:
             for (adj, strengths, iters, do_resize, cont_size,
                  pass_key) in per_pass:
@@ -1281,7 +1341,7 @@ class Synthesizer:
                         print(f"  pass stages: "
                               f"{(time.time()-t0)*1000:.1f} ms", flush=True)
 
-        if cfg.color_transfer is not None:
+        if cfg.color_transfer is not None and not color_done:
             if content is None:
                 raise ValueError("Color transfer requires content image")
             target = _lum_target_jit(content, pastiche)
@@ -1301,6 +1361,10 @@ class Synthesizer:
                 if e[4] is not None:
                     e[0] = None
 
+        if quantize_uint8 and pastiche.dtype != jnp.uint8:
+            # non-fused paths (timing / sharded / chunked / separate color
+            # tail): one standalone quantize dispatch
+            pastiche = _quant_u8_jit(pastiche)
         return pastiche
 
 

@@ -457,15 +457,15 @@ def sort_match(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     return sort_match_rows(t, s).T.reshape(bt, h, w, c)
 
 
-# Above this many elements in the (C, Nt) target cloud the per-channel sorts
-# run in channel blocks through lax.map so the multi-operand sort buffers stay
-# bounded (a monolithic batch-32 512px sort cloud — ~700M elements with its
-# iota/value operands — faulted the device at compile). 192M elements keeps
-# the historical batch<=8 shapes on the one-program path. Env-overridable
-# (read at import, like OPTEX_NO_COV_PROP's trace-time read) for capacity
-# tuning on other chip generations.
-_SORT_BLOCK_ELEMS = int(os.environ.get(
-    "OPTEX_SORT_BLOCK_ELEMS", 192 * 1024 * 1024))
+# Above this many elements in the larger of the two (C, N) sample clouds the
+# per-channel sorts run in channel blocks through lax.map so the multi-operand
+# sort buffers stay bounded (a monolithic batch-32 512px sort cloud — ~700M
+# elements with its iota/value operands — faulted the device at compile).
+# The 192M default keeps the historical batch<=8 shapes on the one-program
+# path. None = resolve OPTEX_SORT_BLOCK_ELEMS at call/trace time through
+# config.sort_block_elems() (the unified knob-latching rule — config.py owns
+# the story); set this attribute to pin a value (tests do).
+_SORT_BLOCK_ELEMS = None
 
 
 def sort_match_rows(t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -474,13 +474,24 @@ def sort_match_rows(t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     of the DISTRIBUTED sort mode (parallel/shard_ot._sort_step_sharded),
     which all-gathers the sample axis and slices its shard back out.
 
-    Clouds past ``_SORT_BLOCK_ELEMS`` process channel blocks sequentially
+    Clouds past the block threshold (config.sort_block_elems, or the
+    ``_SORT_BLOCK_ELEMS`` override) process channel blocks sequentially
     (lax.map): rows are independent, so the math is identical — it only
     bounds the live sort-buffer footprint (the capacity story of
-    --batch_chunk, applied to the sample-cloud modes)."""
+    --batch_chunk, applied to the sample-cloud modes). Both the gate and
+    the block size count the LARGER of the two clouds: each block's live
+    buffers hold rows*Nt target AND rows*Ns source elements, so an
+    ns >> nt style (large style, small target) must trigger blocking and
+    shrink the rows just like a large target does (ADVICE r4)."""
+    from .. import config as _config
+
     c, nt = t.shape
-    if c > 1 and c * nt > _SORT_BLOCK_ELEMS:
-        rows = max(1, _SORT_BLOCK_ELEMS // max(nt, 1))
+    ns = s.shape[1]
+    cap = (_SORT_BLOCK_ELEMS if _SORT_BLOCK_ELEMS is not None
+           else _config.sort_block_elems())
+    m = max(nt, ns, 1)
+    if c > 1 and c * m > cap:
+        rows = max(1, cap // m)
         nblk = -(-c // rows)
         pad = nblk * rows - c
         tb = jnp.pad(t, ((0, pad), (0, 0))).reshape(nblk, rows, nt)

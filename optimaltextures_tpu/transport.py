@@ -41,12 +41,13 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 def cov_propagation_enabled() -> bool:
     """OPTEX_NO_COV_PROP=1 restores the recompute-from-data moment loops
-    (here and in the DP/spatial variants). Read at TRACE time — programs
-    already jit-cached in-process won't change; set it before the first
-    run."""
-    import os
+    (here and in the DP/spatial variants). Read at TRACE time through
+    config.cov_propagation_env_off() — the unified knob-latching rule
+    (config.py owns the story): programs already jit-cached in-process
+    won't change; set it before the first run."""
+    from . import config
 
-    return os.environ.get("OPTEX_NO_COV_PROP") != "1"
+    return not config.cov_propagation_env_off()
 
 
 class StyleStats(NamedTuple):

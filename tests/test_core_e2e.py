@@ -89,6 +89,52 @@ def test_fused_run_equals_per_pass_path(monkeypatch):
     np.testing.assert_allclose(fused, perpass, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("ct", ["lum", "opt"])
+def test_fused_color_tail_matches_separate_dispatches(monkeypatch, ct):
+    """The color-transfer tail folded INTO the fused run program (r5,
+    VERDICT r4 #3) must reproduce the per-pass path's standalone
+    _lum_target_jit/_pixel_ot_jit dispatches: same PRNG stream
+    (fold_in(run_key, 0xC0102)), same ops, only dispatch granularity
+    differs."""
+    cfg = OptexConfig(size=64, passes=2, iters=6, depth=2, seed=9,
+                      style=[STYLE], content=CONTENT, color_transfer=ct,
+                      content_strength=0.2)
+    styles = [load(STYLE)]
+    content = load(CONTENT)
+    noise = np.random.default_rng(7).uniform(
+        size=content.shape).astype(np.float32)
+
+    monkeypatch.delenv("OPTEX_TIMING", raising=False)
+    fused = np.asarray(core.Synthesizer(cfg).run(
+        jnp.asarray(noise), styles, jnp.asarray(content)))
+    monkeypatch.setenv("OPTEX_TIMING", "1")
+    perpass = np.asarray(core.Synthesizer(cfg).run(
+        jnp.asarray(noise), styles, jnp.asarray(content)))
+    np.testing.assert_allclose(fused, perpass, rtol=2e-4, atol=2e-4)
+
+
+def test_quantize_uint8_matches_host_formula(monkeypatch):
+    """run(quantize_uint8=True) — fused in-program on the default path, a
+    standalone dispatch on the timing path — must equal the host save
+    formula applied to the float output, byte for byte."""
+    cfg = tiny_cfg(seed=11, iters=6)
+    styles = [load(STYLE)]
+    noise = np.random.default_rng(2).uniform(
+        size=(1, 64, 64, 3)).astype(np.float32)
+
+    monkeypatch.delenv("OPTEX_TIMING", raising=False)
+    f32 = np.asarray(core.Synthesizer(cfg).run(jnp.asarray(noise), styles))
+    want = (np.clip(f32, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    u8 = np.asarray(core.Synthesizer(cfg).run(jnp.asarray(noise), styles,
+                                              quantize_uint8=True))
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, want)
+    monkeypatch.setenv("OPTEX_TIMING", "1")  # non-fused fallback dispatch
+    u8_tail = np.asarray(core.Synthesizer(cfg).run(
+        jnp.asarray(noise), styles, quantize_uint8=True))
+    np.testing.assert_array_equal(u8_tail, want)
+
+
 def test_stale_styles_token_cannot_poison_cache():
     """A styles_token that a caller wrongly reuses for DIFFERENT style
     images must not serve the first style's cached statistics: the token is
@@ -466,13 +512,12 @@ def test_prep_prefetch_estimate_gate():
     synth = core.Synthesizer(cfg)
     styles = [jnp.zeros((1, 512, 512, 3))]
     plan = synth._plan_passes((512, 512), None)
-    assert synth._prep_prefetch_bytes(plan, styles) \
-        < core.Synthesizer._PREP_PREFETCH_BYTES
+    assert synth._prep_prefetch_bytes(plan, styles) < synth._prep_budget_bytes()
     big = [jnp.zeros((1, 4096, 4096, 3))]
     synth4k = core.Synthesizer(OptexConfig(size=4096, style=[STYLE]))
     plan4k = synth4k._plan_passes((4096, 4096), None)
     assert synth4k._prep_prefetch_bytes(plan4k, big) \
-        > core.Synthesizer._PREP_PREFETCH_BYTES
+        > synth4k._prep_budget_bytes()
 
 
 def test_low_mem_tokened_mixing_frees_spectra(monkeypatch):
