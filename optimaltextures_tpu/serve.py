@@ -336,7 +336,7 @@ def _run_locked(pool, cfg, styles, content, init, token, fmt="png"):
     # arrays costs one tunnel round-trip per style (review r3)
     out = synth.run(noise, styles,
                     jnp.asarray(content) if content is not None else None,
-                    key=run_key, styles_token=token)
+                    key=run_key, styles_token=token, quantize_uint8=True)
     batch = _fetch_uint8(out)
     _maybe_export_pack(synth, token, n_styles=len(styles))
     return _encode_batch(batch, fmt)
@@ -349,6 +349,10 @@ def _fetch_uint8(out):
     measured r4), and PNG encoding quantizes anyway. Same IEEE f32 ops as
     the host formula in imageio.save_images (clip -> *255 + 0.5 ->
     truncating cast), so the response bytes are unchanged."""
+    if str(out.dtype) == "uint8":
+        # run(quantize_uint8=True) already quantized inside the fused run
+        # program (r5) — just fetch
+        return np.asarray(out)
     global _QUANT_JIT
     if _QUANT_JIT is None:   # lazy: keep jax out of serve's import time
         import jax
@@ -465,7 +469,7 @@ def _execute_cohort(pool: SynthesizerPool, members: list):
         noise = jax.random.uniform(jax.random.fold_in(run_key, 999), shape,
                                    dtype=jnp.float32)
         out = synth.run(noise, base.styles, None, key=run_key,
-                        styles_token=base.token)
+                        styles_token=base.token, quantize_uint8=True)
         batch = _fetch_uint8(out)
         _maybe_export_pack(synth, base.token, n_styles=len(base.styles))
     return [_encode_batch(batch[i:i + 1], m.req.fmt)
