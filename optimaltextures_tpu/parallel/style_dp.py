@@ -235,6 +235,15 @@ def synthesize_style_batch(cfg, styles, mesh: Mesh, verbose: bool = False,
         raise ValueError(f"{n} styles for {mesh.devices.size} devices")
     if len({tuple(s.shape) for s in styles}) != 1:
         raise ValueError("style-parallel synthesis needs equal style shapes")
+    if getattr(cfg, "batch_chunk", 0):
+        # Explicit rejection (VERDICT r4 #8): EP runs ONE image per style
+        # per device — there is no local batch axis to micro-batch, so
+        # batch_chunk has nothing to chunk here. (DP x batch_chunk is the
+        # supported composition: shard_ot._chunked_stage_local.)
+        raise ValueError("batch_chunk does not compose with style_parallel "
+                         "(one image per style per device — no local batch "
+                         "axis to chunk); use num_devices DP for chunked "
+                         "batches")
 
     cfg = cfg.validate()
     # a caller-supplied bank (e.g. a warm serving pool's) skips the weight

@@ -421,6 +421,23 @@ def test_style_parallel_batch_pca_multires_equals_single(rng):
     np.testing.assert_allclose(out8, ref, rtol=2e-3, atol=2e-3)
 
 
+def test_style_parallel_rejects_batch_chunk():
+    """EP x batch_chunk is explicitly unsupported (VERDICT r4 #8): EP runs
+    ONE image per style per device, so there is no local batch axis to
+    micro-batch — the combination must be rejected with a clear message,
+    not silently ignored."""
+    import pytest
+
+    from optimaltextures_tpu.config import OptexConfig
+    from optimaltextures_tpu.parallel.style_dp import synthesize_style_batch
+
+    cfg = OptexConfig(size=64, passes=1, iters=4, depth=2, seed=0,
+                      batch=2, batch_chunk=2,
+                      style=["/root/reference/style/graffiti.jpg"])
+    with pytest.raises(ValueError, match="batch_chunk does not compose"):
+        synthesize_style_batch(cfg, [np.zeros((1, 64, 64, 3))] * 2, None)
+
+
 def test_style_parallel_traced_k_equals_forced_full_width(rng):
     """pca_traced_k in the EP path (per-style ranks computed on device, no
     eigenvalue fetch) equals the host-k bucket path pinned to the same full
