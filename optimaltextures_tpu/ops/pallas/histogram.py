@@ -10,10 +10,21 @@ the VPU:
   grid = (C_blocks, N_blocks); each step loads a (BC, BN) tile of samples,
   computes each sample's bin index arithmetically (torch.histc semantics:
   idx = trunc((x - lo) * bins / (hi - lo)), top edge folded into the last
-  bin), one-hot-izes against the 256 bin ids broadcast across lanes, and
-  accumulates into a VMEM (BC, 256) scratch; the last N-block flushes to HBM.
+  bin), and accumulates counts into a VMEM (BC, 256) scratch; the last
+  N-block flushes to HBM.
 
-No scatter, no sort, fully vectorized; ~BN*256 VPU ops per tile.
+Counting scheme (round 5): the 256-wide one-hot FACTORS through 16 x 16
+nibble one-hots, exactly like the pwl_remap lookup (its structural twin):
+with idx = 16*h + l, count[16h+l] = sum_n E_hi[h, n] * E_lo[n, l] — a
+(16, BN) x (BN, 16) matmul on the MXU per channel. Per-sample VPU cost
+drops from ~512 ops (256 compares + 256 adds) to ~35 (two 16-wide compares
++ index arithmetic); the contraction rides the MXU. The r4 trace showed
+the cdf loop is WORK-bound on the VPU and, post-pwl_remap, the two
+histograms per iteration were its dominant term. EXACT: one-hot products
+are 0/1 (exact in any dtype), counts are small integers accumulated in
+f32 — bit-identical to the compare-sum scheme.
+
+No scatter, no sort; the only per-sample VPU work is nibble one-hot-izing.
 """
 
 from __future__ import annotations
@@ -26,31 +37,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BINS = 256
+_G = 16  # factored one-hot group size (16 * 16 == BINS)
 
 
 def _hist_kernel(x_ref, lo_ref, hi_ref, out_ref, acc_ref):
-    """x: (BC, BN) tile; lo/hi: (BC, 1); out/acc: (BC, BINS)."""
+    """x: (BC, BN) tile; lo/hi: (BC, 1); out/acc: (BC, 16, 16) nibble-major
+    counts (count of bin 16h+l at [:, h, l] — reshaped to (BC, 256) by the
+    caller, outside the kernel: a (16, 16) -> (256,) relayout is exactly the
+    kind of sublane/lane shuffle Mosaic lowers slowly)."""
     nb = pl.num_programs(1)
     j = pl.program_id(1)
+    block_c, bn = x_ref.shape
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]
-    lo = lo_ref[:]  # (BC, 1)
-    hi = hi_ref[:]
-    width = hi - lo
-    safe = jnp.where(width > 0, width, 1.0)
-    idx = ((x - lo) * float(BINS) / safe).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, BINS - 1)  # top edge -> last bin
-
-    # one-hot accumulate: compare (BC, BN, 1) indices to (1, 1, BINS) ids;
-    # the bool intermediate stays (BC, BN, BINS) i1 in VMEM — BN is sized so
-    # this fits comfortably
-    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, BINS), 2)
-    onehot = idx[:, :, None] == bin_ids
-    acc_ref[:] += jnp.sum(onehot, axis=1, dtype=jnp.float32)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (_G, bn), 0)   # (16, BN)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (bn, _G), 1)   # (BN, 16)
+    for ch in range(block_c):
+        x = x_ref[ch, :]
+        lo = lo_ref[ch, 0]
+        hi = hi_ref[ch, 0]
+        width = hi - lo
+        safe = jnp.where(width > 0, width, 1.0)
+        idx = ((x - lo) * float(BINS) / safe).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, BINS - 1)  # top edge -> last bin
+        ih = idx // _G
+        il = idx - ih * _G
+        ehi = (iota_hi == ih[None, :]).astype(jnp.float32)       # (16, BN)
+        elo = (iota_lo == il[:, None]).astype(jnp.float32)       # (BN, 16)
+        # count[16h + l] = sum_n ehi[h, n] * elo[n, l]  (MXU contraction;
+        # exact — 0/1 products, integer sums in f32)
+        acc_ref[ch] += jnp.dot(ehi, elo, preferred_element_type=jnp.float32)
 
     @pl.when(j == nb - 1)
     def _():
@@ -94,13 +113,15 @@ def batched_histogram(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
             pl.BlockSpec((block_c, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_c, BINS), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((block_c, _G, _G), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, BINS), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_c, BINS), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((cp, _G, _G), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_c, _G, _G), jnp.float32)],
     )(x, lo[:, None], hi[:, None])
 
-    out = out[:c]
+    # nibble-major (C, 16, 16) -> (C, 256): row-major reshape puts bin
+    # 16h + l at position 16h + l, matching the arithmetic index
+    out = out.reshape(cp, BINS)[:c]
     if npad:
         # remove the synthetic pad-sample counts from bin 0
         out = out.at[:, 0].add(-float(npad))
