@@ -96,11 +96,27 @@ def main() -> None:
         noise = rng.uniform(size=out.shape).astype(np.float32)
         noise_f = _feature_cloud(enc, noise)
         entry = {}
-        for i, sty in enumerate(styles):
-            sty_f = _feature_cloud(enc, np.asarray(sty))
+        sty_fs = [_feature_cloud(enc, np.asarray(sty)) for sty in styles]
+        for i, sty_f in enumerate(sty_fs):
             tag = f"style{i}" if len(styles) > 1 else "style"
             entry[tag] = _metrics(out_f, sty_f, rng)
             entry[tag + "_noise"] = _metrics(noise_f, sty_f, rng)
+        if len(styles) == 2:
+            # MIXING configs: the full-cloud rows above compare a MIXTURE to
+            # one component — a confounded reading (the r4 "rel_cov 1.82 >
+            # noise" anomaly was exactly this; tools/mixing_quality_probe.py
+            # decomposes it). The per-REGION rows are the meaningful ones:
+            # each relu3_1 position assigned to the nearer style mean (the
+            # quality gate's recovery), each region scored against ITS style
+            # with noise as anchor.
+            da = np.linalg.norm(out_f - sty_fs[0].mean(0), axis=-1)
+            db = np.linalg.norm(out_f - sty_fs[1].mean(0), axis=-1)
+            to_a = da < db
+            entry["region_share_style0"] = float(to_a.mean())
+            for i, sel in ((0, to_a), (1, ~to_a)):
+                if sel.sum() > 64:
+                    entry[f"region{i}_vs_style{i}"] = _metrics(
+                        out_f[sel], sty_fs[i], rng)
         report[key] = entry
         print(key)
         for tag, m in entry.items():
