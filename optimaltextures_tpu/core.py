@@ -881,6 +881,7 @@ class Synthesizer:
         no host syncs. Gate-skip passes (do_resize False) encode the ORIGINAL
         styles, mirroring the reference (optex.py:47)."""
         cfg = self.cfg
+        styles = [jnp.asarray(s) for s in styles]  # device upload point
         if do_resize:
             style_tens = tuple(
                 _resize_dev(s, schedule.get_size(size, cfg.style_scale,
@@ -1010,11 +1011,20 @@ class Synthesizer:
         # copy the pastiche: the stage programs donate their input buffer, and
         # when the resize gate skips (entry size == pass size) the caller's
         # array would reach the donated argument directly — a second run with
-        # the same array would then hit an invalidated buffer
-        pastiche = jnp.array(pastiche, copy=True)
+        # the same array would then hit an invalidated buffer. The fused
+        # single-device path copies lazily in phase D, only when the chosen
+        # twin actually donates (r5: one fewer warm-path dispatch otherwise).
+        fused_path_run = (self.mesh is None and self.space_mesh is None
+                          and self.grid_mesh is None and not timing)
+        if not fused_path_run:
+            pastiche = jnp.array(pastiche, copy=True)
         if styles_token is not None:
             styles_token = (styles_token, _styles_fingerprint(styles))
-        styles = [jnp.asarray(s) for s in styles]
+        # styles stay HOST arrays until a prep program actually needs them
+        # (_dispatch_style_prep asarrays at dispatch): a fully-warm tokened
+        # run previously re-uploaded every style through the tunnel (~4 MB /
+        # 40 ms at 512px) only to never read the device copy (r5 census)
+        styles = list(styles)
         if any(s.shape != styles[0].shape for s in styles[1:]):
             # mixing concatenates style batches (reference assert, optex.py:261)
             raise ValueError("style images must have the same shape; got "
@@ -1124,9 +1134,15 @@ class Synthesizer:
                 print(f"Pass {p}, size {self.sizes[p]}", flush=True)
                 for d in self.layer_depths:
                     print(f"Layer: relu{d}_1", flush=True)
-            pass_key = jax.random.fold_in(run_key, p)
-            t0 = time.time()
+            # pass_key is only consumed by the prep-finish (mixing mask) and
+            # the non-fused (timing / sharded) stage paths; the fused run
+            # program folds its own per-pass keys from run_key. Computing it
+            # eagerly here cost a fully-warm run 5 tunnel dispatches for
+            # keys nobody read (r5 census) — compute lazily.
             e = entries[p]
+            pass_key = (None if fused_path_run and e[4] is not None
+                        else jax.random.fold_in(run_key, p))
+            t0 = time.time()
             if e[1] is None and e[4] is None:
                 # low_mem: this pass's prep dispatches HERE (nothing was
                 # prefetched) and its k-decision drains individually
@@ -1251,8 +1267,13 @@ class Synthesizer:
                 and cfg.hist_mode not in ("cdf", "sort")
                 and cfg.cov_propagation
                 and transport.cov_propagation_enabled())
+            # lazy copy (see run() entry): only a donating twin invalidates
+            # the caller's buffer
+            donating = donate and (use_chunked or not quantize_uint8)
+            if donating:
+                pastiche = jnp.array(pastiche, copy=True)
             if use_chunked:
-                run_fn = (_run_stages_chunked_jit if donate
+                run_fn = (_run_stages_chunked_jit if donating
                           else _run_stages_chunked_jit_nodonate)
                 pastiche = run_fn(
                     enc_all, dec_all, pastiche,
@@ -1270,7 +1291,7 @@ class Synthesizer:
                     raise ValueError("Color transfer requires content image")
                 # a quantized (uint8) output can't alias the f32 input
                 # buffer, so donation would only warn — use the twin
-                run_fn = (_run_stages_jit if donate and not quantize_uint8
+                run_fn = (_run_stages_jit if donating
                           else _run_stages_jit_nodonate)
                 pastiche = run_fn(
                     enc_all, dec_all, pastiche,
