@@ -101,21 +101,26 @@ def main():
     u = jax.random.uniform(rec["mask_key"], rec["hw"])
     mask = jnp.ceil(u - rec["alpha"])[None, :, :, None]
 
-    # the run's ACTUAL final-pass relu3_1 style taps (deep->shallow order:
-    # index 0 = relu3_1) and its mixed target cloud on the true mask
-    sf3 = rec["sfs"][0]
-    m3 = resize_nearest_nhwc(mask, sf3.shape[1:3])
-    mixed = np.asarray(core._mix_pair_impl(sf3[0:1], sf3[1:2], m3,
-                                           mode=rec["mode"],
-                                           alpha=rec["alpha"]))
-    mixed_f = mixed.reshape(-1, mixed.shape[-1])
-    fa = np.asarray(sf3[0:1]).reshape(-1, sf3.shape[-1])
-    fb = np.asarray(sf3[1:2]).reshape(-1, sf3.shape[-1])
-
+    # The run mixes the PCA-PROJECTED taps (reference semantics —
+    # mix_style_features runs after encode_inputs' projection,
+    # optex.py:66-101), so the captured sfs live in a k-dim basis the raw
+    # relu3_1 metric space can't compare against. Recompute the mixed
+    # TARGET in RAW relu3_1 space on the TRUE recorded mask — the same
+    # blend formula in the observable space the metrics use.
     from optimaltextures_tpu.models.vgg import VGGBank
 
     bank = VGGBank(3)
     enc = bank.encode_fn(3)
+    fa_map = enc(jnp.asarray(np.asarray(styles[0]), jnp.float32))
+    fb_map = enc(jnp.asarray(np.asarray(styles[1]), jnp.float32))
+    m3 = resize_nearest_nhwc(mask, fa_map.shape[1:3])
+    mixed = np.asarray(core._mix_pair_impl(fa_map, fb_map, m3,
+                                           mode=rec["mode"],
+                                           alpha=rec["alpha"]))
+    mixed_f = mixed.reshape(-1, mixed.shape[-1])
+    fa = np.asarray(fa_map).reshape(-1, fa_map.shape[-1])
+    fb = np.asarray(fb_map).reshape(-1, fb_map.shape[-1])
+
     feat = np.asarray(enc(jnp.asarray(out, jnp.float32)))
     hf, wf = feat.shape[1:3]
     out_f = feat.reshape(-1, feat.shape[-1])
@@ -146,10 +151,10 @@ def main():
     to_a = da < db
     from optimaltextures_tpu.ops import histmatch
 
-    atob = np.asarray(histmatch.hist_match(sf3[0:1], sf3[1:2], rec["mode"])
-                      ).reshape(-1, sf3.shape[-1])
-    btoa = np.asarray(histmatch.hist_match(sf3[1:2], sf3[0:1], rec["mode"])
-                      ).reshape(-1, sf3.shape[-1])
+    atob = np.asarray(histmatch.hist_match(fa_map, fb_map, rec["mode"])
+                      ).reshape(-1, fa_map.shape[-1])
+    btoa = np.asarray(histmatch.hist_match(fb_map, fa_map, rec["mode"])
+                      ).reshape(-1, fb_map.shape[-1])
     a_ = rec["alpha"]
     blend_a = (1 - a_) * fa + a_ * atob
     blend_b = (1 - a_) * btoa + a_ * fb   # optex.py:204's region-B blend
