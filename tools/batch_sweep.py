@@ -150,6 +150,8 @@ def main():
     if args.depth5:
         print("== depth 5 (synthetic bank) ==", flush=True)
         out["depth5"] = sweep(args.size, batches, 5, args.runs,
+                              trace_dir=(args.trace + "_d5") if args.trace
+                              else None,
                               batch_chunk=args.batch_chunk,
                               hist_mode=args.hist_mode)
     print(json.dumps(out))
