@@ -115,6 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_cov_prop", action="store_true",
                    help="disable covariance-propagated OT loops (recompute "
                         "statistics from data every iteration; A/B tool)")
+    p.add_argument("--no_fast_codec", action="store_true",
+                   help="disable the Pallas relu1-scale codec kernels on "
+                        "eligible runs (batch-128 bf16 reflect; A/B tool)")
     p.add_argument("--tileable", action="store_true",
                    help="seamlessly tileable synthesis: circular conv "
                         "padding + wrap-tap multires resize on the pastiche "
@@ -155,6 +158,7 @@ def main(argv=None) -> int:
     cfg.compat_schedule_quirk = not args.no_schedule_quirk
     cfg.use_pallas = not args.no_pallas
     cfg.cov_propagation = not args.no_cov_prop
+    cfg.fast_codec = not args.no_fast_codec
 
     profiler_cm = None
     if args.profile_dir:

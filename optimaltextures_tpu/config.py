@@ -163,6 +163,14 @@ class OptexConfig:
     # num_devices (batch-DP): each chip micro-batches its LOCAL shard and
     # the joint covariance still psums once per stage.
     batch_chunk: int = 0
+    # Route the relu1-scale codec section of every stage roundtrip through
+    # the 2px-packed Pallas conv kernels (ops/pallas/codec.py) when the run
+    # fits their static contract: batch 128, bfloat16 convs, reflect
+    # padding, sizes multiples of 32 — i.e. the batch-throughput serving
+    # point, where those convs were 48% of device time at half-MXU rates
+    # (docs/PERF.md r5). Any ineligible run keeps the XLA codec unchanged;
+    # outputs differ from it only at MXU accumulation-order level.
+    fast_codec: bool = True
     # Round the PCA rank k UP to a multiple of this bucket (0 = exact k).
     # Keeps program shapes stable across styles (compile-cache friendly);
     # mathematically identical to exact-k: eigvecs are zero-padded and

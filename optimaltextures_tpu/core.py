@@ -40,6 +40,7 @@ from . import config as config_mod
 from . import transport
 from .config import OptexConfig
 
+from .models import fastcodec
 from .models.vgg import VGGBank, decode, encode, encode_taps
 from .ops import colors, histmatch
 from .ops.resize import (apply_resample, resample_pair, resize_nearest_nhwc,
@@ -288,7 +289,7 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
                       depths, iters, mode: str, strengths, pca_flags,
                       use_pallas=None, pad_mode: str = "reflect",
                       resize_to=None, cov_prop: bool = True,
-                      resize_mats=None):
+                      resize_mats=None, fast_codec: bool = False):
     """ALL of a pass's layer stages in ONE program: the pass's multires
     resize (``resize_to``, in float32 — parity with the standalone step),
     the f32<->conv_dtype casts, and for each depth (deepest first)
@@ -310,26 +311,46 @@ def _pass_stages_impl(enc_params, dec_params, pastiche, targets, key, *,
         pastiche = apply_resample(pastiche, *resize_mats)
     conv_dtype = enc_params[0][0][0].dtype
     pastiche = pastiche.astype(conv_dtype)
-    for i, d in enumerate(depths):
-        feat = encode(enc_params[i], d, pastiche, pad_mode).astype(jnp.float32)
+
+    def ot_stage(i, feat):
+        feat = feat.astype(jnp.float32)
         if pca_flags[i]:
             feat = jnp.matmul(feat, targets[i].eigvecs,
                               precision=jax.lax.Precision.HIGHEST)
         feat = transport.transport_loop(
-            jax.random.fold_in(key, i), feat, targets[i].stats, iters[i], mode,
-            content_feature=targets[i].content, content_strength=strengths[i],
-            k_mask=targets[i].k_mask, use_pallas=use_pallas,
-            cov_prop=cov_prop)
+            jax.random.fold_in(key, i), feat, targets[i].stats, iters[i],
+            mode, content_feature=targets[i].content,
+            content_strength=strengths[i], k_mask=targets[i].k_mask,
+            use_pallas=use_pallas, cov_prop=cov_prop)
         if pca_flags[i]:
             feat = jnp.matmul(feat, targets[i].eigvecs.T,
                               precision=jax.lax.Precision.HIGHEST)
+        return feat
+
+    if fast_codec:
+        # relu1-scale codec section on the 2px-packed Pallas kernels; the
+        # image lives as a post-renorm padded-RGB TCB tensor between stages
+        # (models/fastcodec.py — full-res 64-ch maps never round-trip HBM)
+        rgb8 = fastcodec.pixels_to_rgb8(enc_params[0][0], pastiche)
+        for i, d in enumerate(depths):
+            feat = fastcodec.encode_head(enc_params[i], d, rgb8, conv_dtype)
+            feat = ot_stage(i, feat)
+            renorm = enc_params[i + 1][0] if i + 1 < len(depths) else None
+            rgb8 = fastcodec.decode_tail(dec_params[i], d, feat, renorm,
+                                         conv_dtype)
+        return fastcodec.rgb8_to_pixels(rgb8, jnp.float32)
+
+    for i, d in enumerate(depths):
+        feat = encode(enc_params[i], d, pastiche, pad_mode)
+        feat = ot_stage(i, feat)
         pastiche = decode(dec_params[i], d, feat.astype(pastiche.dtype),
                           pad_mode)
     return pastiche.astype(jnp.float32)
 
 
 _PASS_STATICS = ("depths", "iters", "mode", "strengths", "pca_flags",
-                 "use_pallas", "pad_mode", "resize_to", "cov_prop")
+                 "use_pallas", "pad_mode", "resize_to", "cov_prop",
+                 "fast_codec")
 # resize passes change the buffer shape, so donation can't apply there (and
 # jax warns); gate-skip passes donate the same-shape pastiche buffer
 _pass_stages_jit = partial(jax.jit, static_argnames=_PASS_STATICS,
@@ -343,7 +364,8 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
                      pca_flags_all, use_pallas=None,
                      pad_mode: str = "reflect", cov_prop: bool = True,
                      resize_mats_all=None, content_px=None,
-                     color_mode=None, quantize: bool = False):
+                     color_mode=None, quantize: bool = False,
+                     fast_codec: bool = False):
     """The WHOLE run's pass chain in ONE program: every pass's multires
     resize + all its layer stages, chained on-device. One dispatch + one
     final sync per run where the per-pass path pays 5 dispatches + the
@@ -367,7 +389,7 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
             strengths=strengths_all[p], pca_flags=pca_flags_all[p],
             use_pallas=use_pallas, pad_mode=pad_mode,
             resize_to=resize_to, cov_prop=cov_prop,
-            resize_mats=resize_mats_all[p])
+            resize_mats=resize_mats_all[p], fast_codec=fast_codec)
     if color_mode is not None:
         target = colors.swap_lightness(content_px, pastiche)
         if color_mode == "opt":
@@ -393,7 +415,7 @@ def _run_stages_impl(enc_params, dec_params, pastiche, targets_all, run_key,
 
 _RUN_STATICS = ("depths", "plans", "mode", "strengths_all", "pca_flags_all",
                 "use_pallas", "pad_mode", "cov_prop", "color_mode",
-                "quantize")
+                "quantize", "fast_codec")
 # donation applies only when the run's entry shape equals its final shape
 # (the usual case: noise at the target size, internal multires down/up);
 # runs that end at a different size use the non-donating twin
@@ -1245,7 +1267,11 @@ class Synthesizer:
             # resampling weights ride as runtime arrays (one device upload
             # per (shapes, device), cached) — embedding them as program
             # constants broke the remote compile at 8192px (ops/resize)
-            dev = next(iter(pastiche.devices()))
+            # the lazy-copy trim (r5) can leave a non-donating fused run's
+            # pastiche as the caller's HOST array until dispatch — resize
+            # mats then belong on the default device jit will place it on
+            dev = (next(iter(pastiche.devices()))
+                   if hasattr(pastiche, "devices") else jax.devices()[0])
             mats_all, cur_hw = [], tuple(pastiche.shape[1:3])
             for (resize_to, _) in plans:
                 if resize_to is not None:
@@ -1267,6 +1293,18 @@ class Synthesizer:
                 and cfg.hist_mode not in ("cdf", "sort")
                 and cfg.cov_propagation
                 and transport.cov_propagation_enabled())
+            # relu1-scale codec section on the Pallas kernels when the run
+            # fits their static contract (models/fastcodec.eligible): the
+            # batch-128 bf16 throughput point of record; every other shape
+            # keeps the XLA codec bit-for-bit
+            visit_sizes = [tuple(pastiche.shape[1:3])]
+            visit_sizes += [tuple(rt) for (rt, _) in plans if rt is not None]
+            fast_codec = (cfg.fast_codec and cfg.use_pallas
+                          and not use_chunked
+                          and fastcodec.eligible(pastiche.shape[0],
+                                                 visit_sizes, pad_mode,
+                                                 self.bank.enc_params[
+                                                     depths[0]][0][0].dtype))
             # lazy copy (see run() entry): only a donating twin invalidates
             # the caller's buffer
             donating = donate and (use_chunked or not quantize_uint8)
@@ -1303,7 +1341,8 @@ class Synthesizer:
                     cov_prop=cfg.cov_propagation,
                     resize_mats_all=mats_all,
                     content_px=content if fused_color is not None else None,
-                    color_mode=fused_color, quantize=quantize_uint8)
+                    color_mode=fused_color, quantize=quantize_uint8,
+                    fast_codec=fast_codec)
                 color_done = fused_color is not None
         else:
             for (adj, strengths, iters, do_resize, cont_size,

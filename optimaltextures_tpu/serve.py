@@ -63,7 +63,7 @@ _CONFIG_FIELDS = {
     "no_pca",
     "no_multires", "batch", "seed", "depth", "conv_dtype", "num_devices",
     "spatial_devices", "pca_bucket", "pca_traced_k", "use_pallas",
-    "cov_propagation", "batch_chunk",
+    "cov_propagation", "batch_chunk", "fast_codec",
     "compat_schedule_quirk", "content_anchor", "tileable", "out_width",
 }
 

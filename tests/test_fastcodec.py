@@ -1,0 +1,50 @@
+"""The fast_codec (Pallas relu1-scale) run path vs the XLA codec, end to
+end on CPU (interpret-mode kernels; batch 128 = the kernels' lane width).
+
+Same rotation stream, same OT programs — only the codec section differs,
+so outputs must agree to accumulation-order tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optimaltextures_tpu import core
+from optimaltextures_tpu.config import OptexConfig
+from optimaltextures_tpu.models import fastcodec
+from optimaltextures_tpu.models.vgg import synthetic_bank
+
+
+def _run(fast, depth, size=32, batch=128):
+    cfg = OptexConfig(size=size, passes=1, iters=4, seed=3, batch=batch,
+                      depth=depth, style=["unused"], fast_codec=fast)
+    bank = synthetic_bank(depth, seed=1)
+    synth = core.Synthesizer(cfg, bank=bank)
+    key = jax.random.key(0)
+    noise = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
+    style = [np.asarray(jax.random.uniform(
+        jax.random.fold_in(key, 1), (1, size, size, 3), jnp.float32))]
+    return np.asarray(synth.run(noise, style, key=jax.random.key(9)))
+
+
+@pytest.mark.parametrize("depth", [2])  # layers [2, 1]: both stage branches
+def test_fast_codec_matches_xla(depth):
+    ref = _run(False, depth)
+    got = _run(True, depth)
+    assert ref.shape == got.shape
+    err = np.max(np.abs(ref - got))
+    assert err < 5e-4, err
+    # and it actually took a different program path: exact-zero diff would
+    # mean the gate silently fell back
+    assert err > 0.0
+
+
+def test_eligibility_gate():
+    ok = fastcodec.eligible(128, [(512, 512), (256, 256)], "reflect",
+                            jnp.bfloat16)
+    assert ok
+    assert not fastcodec.eligible(64, [(512, 512)], "reflect", jnp.bfloat16)
+    assert not fastcodec.eligible(128, [(512, 512)], "wrap", jnp.bfloat16)
+    assert not fastcodec.eligible(128, [(512, 520)], "reflect", jnp.bfloat16)
+    assert not fastcodec.eligible(128, [(16, 512)], "reflect", jnp.bfloat16)
