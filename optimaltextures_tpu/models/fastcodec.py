@@ -74,7 +74,12 @@ def rgb8_to_pixels(rgb8, dtype):
 
 
 def encode_head(enc_params, depth: int, rgb8, conv_dtype):
-    """Post-renorm padded-RGB TCB -> relu{depth}_1 features, NHWC."""
+    """Post-renorm padded-RGB TCB -> relu{depth}_1 features, NHWC.
+
+    Kernel-covered encoder prefix (arch._ENCODER_FULL indices): [1] entry
+    3->64, [2] conv1_2 + [3]'s pre-pool, [3] 64->128, [4] 128->128 +
+    [5]'s pre-pool — everything through the 128-channel scale; XLA takes
+    over at 256 channels (the MXU is already full there)."""
     ip = _interpret()
     we, be = codec.pack_entry_rgb(*enc_params[1])
     t = codec.rgb_to_relu1(rgb8, we, be, out_dtype=conv_dtype, interpret=ip)
@@ -82,12 +87,19 @@ def encode_head(enc_params, depth: int, rgb8, conv_dtype):
         return codec.tcb_to_nhwc(t)
     wr, b2 = codec.pack_conv_p2(*enc_params[2])
     t = codec.conv3x3_p2(t, wr, b2, relu=True, pool=True, interpret=ip)
+    w128, b128 = codec.pack_conv_full(*enc_params[3])
+    if depth == 2:
+        t = codec.conv3x3_full(t, w128, b128, relu=True, interpret=ip)
+        return codec.tcb_to_nhwc(t)
+    t = codec.conv3x3_full(t, w128, b128, relu=True, interpret=ip)
+    w44, b44 = codec.pack_conv_full(*enc_params[4])
+    t = codec.conv3x3_full(t, w44, b44, relu=True, pool=True, interpret=ip)
     x = codec.tcb_to_nhwc(t)
-    specs = arch.encoder_specs(depth)[3:]
-    # spec[3]'s pre-pool is fused into the packed conv1_2 above
+    specs = arch.encoder_specs(depth)[5:]
+    # spec[5]'s pre-pool is fused into the 128->128 kernel above
     s0 = specs[0]
     specs = [(s0[0], s0[1], s0[2], "", s0[4])] + list(specs[1:])
-    return _run_stack(enc_params[3:], specs, x, "reflect")
+    return _run_stack(enc_params[5:], specs, x, "reflect")
 
 
 def decode_tail(dec_params, depth: int, feat, renorm_params, conv_dtype):
@@ -100,9 +112,18 @@ def decode_tail(dec_params, depth: int, feat, renorm_params, conv_dtype):
     if depth == 1:
         x = codec.nhwc_to_tcb(feat)
     else:
+        # kernel-covered decoder suffix: [-4] 128->128 upconv, [-3] 128->64,
+        # [-2] 64->64 upconv, [-1] final; XLA above 128 channels
         specs = arch.decoder_specs(depth)
-        y = _run_stack(dec_params[:-2], specs[:-2], feat, "reflect")
-        x = codec.nhwc_to_tcb(y)
+        if depth == 2:
+            x = codec.nhwc_to_tcb(feat)
+        else:
+            y = _run_stack(dec_params[:-4], specs[:-4], feat, "reflect")
+            x = codec.nhwc_to_tcb(y)
+            wa0u, wa1u, buu = codec.pack_upconv_fold(*dec_params[-4])
+            x = codec.upconv_p2(x, wa0u, wa1u, buu, interpret=ip)
+        wrd, brd = codec.pack_conv_p2(*dec_params[-3])
+        x = codec.conv3x3_p2(x, wrd, brd, relu=True, interpret=ip)
         wa0, wa1, bu = codec.pack_upconv_fold(*dec_params[-2])
         x = codec.upconv_p2(x, wa0, wa1, bu, interpret=ip)
     wf, bf = dec_params[-1]

@@ -279,17 +279,21 @@ def _conv_p2_kernel(x_hbm, w_ref, b_ref, o_ref, xbuf, sem, *,
                 o_ref[hp, p] = m.astype(o_ref.dtype)
 
 
-def conv3x3_p2(x, wrow, bias2, relu=True, pool=False, th=8, tw=16,
+def conv3x3_p2(x, wrow, bias2, relu=True, pool=False, th=8, tw=None,
                interpret=False):
-    """x (H, W, 64, 128) TCB -> relu(conv3x3(x)) [pooled to (H/2, W/2)] —
-    the encoder conv1_2 (+pool). wrow/bias2 from :func:`pack_conv_p2`."""
+    """x (H, W, Cin, 128) TCB -> relu(conv3x3(x)) at Cout=64 [pooled to
+    (H/2, W/2)]. Cin in {64, 128} (the encoder conv1_2 / the decoder
+    128->64 conv). wrow/bias2 from :func:`pack_conv_p2`."""
     hh, ww, c, b = x.shape
-    assert b == LANES and c == 64 and hh % th == 0 and ww % tw == 0
+    cin = wrow.shape[2] // 4
+    if tw is None:
+        tw = 16 if cin <= 64 else 8   # VMEM: 2x(th+2, tw+2, cin, 128) bf16
+    assert b == LANES and c == cin and hh % th == 0 and ww % tw == 0
     n_h, n_w = hh // th, ww // tw
     assert n_h >= 2 and n_w >= 2
     kern = functools.partial(_conv_p2_kernel, th=th, tw=tw, n_h=n_h,
                              n_w=n_w, hh=hh, ww=ww, relu=relu, pool=pool,
-                             cin=64)
+                             cin=cin)
     if pool:
         out_shape = jax.ShapeDtypeStruct((hh // 2, ww // 2, 64, b), x.dtype)
         out_spec = pl.BlockSpec((th // 2, tw // 2, 64, b),
@@ -313,7 +317,7 @@ def conv3x3_p2(x, wrow, bias2, relu=True, pool=False, th=8, tw=16,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, tw + 2, 64, b), x.dtype),
+            pltpu.VMEM((2, th + 2, tw + 2, cin, b), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -321,11 +325,104 @@ def conv3x3_p2(x, wrow, bias2, relu=True, pool=False, th=8, tw=16,
 
 
 # --------------------------------------------------------------------------
+# K1b: full-width 3x3 conv, Cout=128 (M fills the MXU natively — no
+# pixel packing needed): the encoder 64->128 and 128->128 convs
+# --------------------------------------------------------------------------
+
+def pack_conv_full(w, b):
+    """(3,3,Cin,Co) HWIO + (Co,) -> Wrow (3, Co, 3*Cin), bias (Co, 1) for
+    the unpacked per-pixel contraction (Cout >= 128 fills M natively)."""
+    kh, kw, cin, co = w.shape
+    wr = jnp.transpose(w, (0, 3, 1, 2)).reshape(kh, co, kw * cin)
+    return wr, b.astype(jnp.float32).reshape(co, 1)
+
+
+def _conv_full_kernel(x_hbm, w_ref, b_ref, o_ref, xbuf, sem, *,
+                      th, tw, n_h, n_w, hh, ww, relu, pool, cin, cout):
+    t = pl.program_id(0)
+    slot = _pipeline(x_hbm, xbuf, sem, t, pl.num_programs(0),
+                     th, tw, n_h, n_w, hh, ww, "reflect")
+    buf = xbuf.at[slot]
+    w0, w1, w2 = w_ref[0], w_ref[1], w_ref[2]
+    bias = b_ref[:]
+    kdim = 3 * cin
+
+    def px_acc(h, p):
+        p0 = buf[h + 0, pl.ds(p, 3)].reshape(kdim, LANES)
+        p1 = buf[h + 1, pl.ds(p, 3)].reshape(kdim, LANES)
+        p2 = buf[h + 2, pl.ds(p, 3)].reshape(kdim, LANES)
+        acc = jnp.dot(w0, p0, preferred_element_type=jnp.float32)
+        acc += jnp.dot(w1, p1, preferred_element_type=jnp.float32)
+        acc += jnp.dot(w2, p2, preferred_element_type=jnp.float32)
+        acc += bias
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        return acc
+
+    if not pool:
+        for h in range(th):
+            for p in range(tw):
+                o_ref[h, p] = px_acc(h, p).astype(o_ref.dtype)
+    else:
+        for hp in range(th // 2):
+            for pp in range(tw // 2):
+                m = jnp.maximum(px_acc(2 * hp, 2 * pp),
+                                px_acc(2 * hp, 2 * pp + 1))
+                m = jnp.maximum(m, px_acc(2 * hp + 1, 2 * pp))
+                m = jnp.maximum(m, px_acc(2 * hp + 1, 2 * pp + 1))
+                o_ref[hp, pp] = m.astype(o_ref.dtype)
+
+
+def conv3x3_full(x, wrow, bias, relu=True, pool=False, th=8, tw=8,
+                 interpret=False):
+    """x (H, W, Cin, 128) TCB -> relu(conv3x3(x)) at Cout=wrow.shape[1]
+    [pooled to (H/2, W/2)]. For Cout >= 128 (no packing: M full)."""
+    hh, ww, c, b = x.shape
+    cout = wrow.shape[1]
+    cin = wrow.shape[2] // 3
+    assert b == LANES and c == cin and hh % th == 0 and ww % tw == 0
+    n_h, n_w = hh // th, ww // tw
+    assert n_h >= 2 and n_w >= 2
+    kern = functools.partial(_conv_full_kernel, th=th, tw=tw, n_h=n_h,
+                             n_w=n_w, hh=hh, ww=ww, relu=relu, pool=pool,
+                             cin=cin, cout=cout)
+    if pool:
+        out_shape = jax.ShapeDtypeStruct((hh // 2, ww // 2, cout, b),
+                                         x.dtype)
+        out_spec = pl.BlockSpec((th // 2, tw // 2, cout, b),
+                                lambda t: (t // n_w, t % n_w, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((hh, ww, cout, b), x.dtype)
+        out_spec = pl.BlockSpec((th, tw, cout, b),
+                                lambda t: (t // n_w, t % n_w, 0, 0),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n_h * n_w,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(wrow.shape, lambda t: (0,) * 3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, tw + 2, cin, b), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wrow, bias)
+
+
+# --------------------------------------------------------------------------
 # K2: folded nearest-up + 3x3 64->64 + relu (coarse in, fine out)
 # --------------------------------------------------------------------------
 
 def _upconv_kernel(x_hbm, wa0_ref, wa1_ref, b_ref, o_ref, cbuf, sem, *,
-                   th, tw, n_h, n_w, hh2, ww2):
+                   th, tw, n_h, n_w, hh2, ww2, cc):
     t = pl.program_id(0)
     thc, twc = th // 2, tw // 2
     slot = _pipeline(x_hbm, cbuf, sem, t, pl.num_programs(0),
@@ -333,32 +430,36 @@ def _upconv_kernel(x_hbm, wa0_ref, wa1_ref, b_ref, o_ref, cbuf, sem, *,
     buf = cbuf.at[slot]
     bias = b_ref[:]
     wa = [(wa0_ref[0], wa0_ref[1]), (wa1_ref[0], wa1_ref[1])]
+    kdim = 3 * cc
 
     for h in range(th):
         a = h % 2
         lr = h // 2 + a           # first coarse local row for this phase
         w_r0, w_r1 = wa[a]
         for p in range(tw // 2):
-            p0 = buf[lr + 0, pl.ds(p, 3)].reshape(192, LANES)
-            p1 = buf[lr + 1, pl.ds(p, 3)].reshape(192, LANES)
+            p0 = buf[lr + 0, pl.ds(p, 3)].reshape(kdim, LANES)
+            p1 = buf[lr + 1, pl.ds(p, 3)].reshape(kdim, LANES)
             acc = jnp.dot(w_r0, p0, preferred_element_type=jnp.float32)
             acc += jnp.dot(w_r1, p1, preferred_element_type=jnp.float32)
             acc += bias
             y = jnp.maximum(acc, 0.0).astype(o_ref.dtype)
-            o_ref[h, pl.ds(2 * p, 2)] = y.reshape(2, 64, LANES)
+            o_ref[h, pl.ds(2 * p, 2)] = y.reshape(2, cc, LANES)
 
 
-def upconv_p2(x2, wa0, wa1, bias2, th=8, tw=16, interpret=False):
-    """x2 (H/2, W/2, 64, 128) coarse TCB -> relu(conv3x3(nearest_up(x2)))
-    at (H, W, 64, 128), via the folded per-phase taps (the 4x fine buffer
-    never exists). Weights from :func:`pack_upconv_fold`."""
+def upconv_p2(x2, wa0, wa1, bias2, th=8, tw=None, interpret=False):
+    """x2 (H/2, W/2, C, 128) coarse TCB -> relu(conv3x3(nearest_up(x2)))
+    at (H, W, C, 128), via the folded per-phase taps (the 4x fine buffer
+    never exists). C in {64, 128}. Weights from :func:`pack_upconv_fold`."""
     hh2, ww2, c, b = x2.shape
+    cc = wa0.shape[1] // 2
+    if tw is None:
+        tw = 16 if cc <= 64 else 8
     hh, ww = 2 * hh2, 2 * ww2
-    assert b == LANES and c == 64 and hh % th == 0 and ww % tw == 0
+    assert b == LANES and c == cc and hh % th == 0 and ww % tw == 0
     n_h, n_w = hh // th, ww // tw
     assert n_h >= 2 and n_w >= 2
     kern = functools.partial(_upconv_kernel, th=th, tw=tw, n_h=n_h,
-                             n_w=n_w, hh2=hh2, ww2=ww2)
+                             n_w=n_w, hh2=hh2, ww2=ww2, cc=cc)
     return pl.pallas_call(
         kern,
         grid=(n_h * n_w,),
@@ -371,12 +472,12 @@ def upconv_p2(x2, wa0, wa1, bias2, th=8, tw=16, interpret=False):
             pl.BlockSpec(bias2.shape, lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((th, tw, 64, b),
+        out_specs=pl.BlockSpec((th, tw, cc, b),
                                lambda t: (t // n_w, t % n_w, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hh, ww, 64, b), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((hh, ww, cc, b), x2.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th // 2 + 2, tw // 2 + 2, 64, b), x2.dtype),
+            pltpu.VMEM((2, th // 2 + 2, tw // 2 + 2, cc, b), x2.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -29,6 +29,7 @@ def _run(fast, depth, size=32, batch=128):
 
 
 @pytest.mark.parametrize("depth", [2])  # layers [2, 1]: both stage branches
+
 def test_fast_codec_matches_xla(depth):
     ref = _run(False, depth)
     got = _run(True, depth)
@@ -48,3 +49,27 @@ def test_eligibility_gate():
     assert not fastcodec.eligible(128, [(512, 512)], "wrap", jnp.bfloat16)
     assert not fastcodec.eligible(128, [(512, 520)], "reflect", jnp.bfloat16)
     assert not fastcodec.eligible(128, [(16, 512)], "reflect", jnp.bfloat16)
+
+
+def test_head_tail_wiring_depth4():
+    """encode_head/decode_tail vs vgg.encode/decode at depth 4: pins the
+    spec-slice wiring of the 128-ch kernel scale (upconv128, 128->64,
+    64->128, 128->128+pool) without the cost of a full interpret-mode run
+    (the kernels themselves are unit-tested in test_pallas_codec)."""
+    from optimaltextures_tpu.models import vgg
+
+    key = jax.random.key(11)
+    size, batch, depth = 32, 128, 4
+    bank = synthetic_bank(depth, seed=2)
+    enc, dec = bank.enc_params[depth], bank.dec_params[depth]
+    px = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
+
+    ref_feat = vgg.encode(enc, depth, px)
+    rgb8 = fastcodec.pixels_to_rgb8(enc[0], px)
+    got_feat = fastcodec.encode_head(enc, depth, rgb8, jnp.float32)
+    assert np.max(np.abs(np.asarray(ref_feat - got_feat))) < 2e-4
+
+    ref_px = vgg.decode(dec, depth, ref_feat)
+    got_rgb8 = fastcodec.decode_tail(dec, depth, ref_feat, None, jnp.float32)
+    got_px = fastcodec.rgb8_to_pixels(got_rgb8, jnp.float32)
+    assert np.max(np.abs(np.asarray(ref_px - got_px))) < 2e-4
