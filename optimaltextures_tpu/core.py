@@ -718,22 +718,37 @@ class Synthesizer:
 
             self.space_mesh = make_mesh(cfg.spatial_devices, axis="space")
 
-    def _dp_pass(self, iters, strengths, pca_flags, n_chunks: int = 1):
+    def _dp_pass(self, iters, strengths, pca_flags, n_chunks: int = 1,
+                 fast_codec: bool = False):
         """Fused whole-pass DP program (one dispatch per pass, VERDICT r2
-        next-step #4), cached per (iters, strengths, pca_flags, n_chunks).
-        ``n_chunks > 1`` = batch_chunk x DP: each chip micro-batches its
-        local shard's codec (see shard_ot._chunked_stage_local)."""
+        next-step #4), cached per (iters, strengths, pca_flags, n_chunks,
+        fast_codec). ``n_chunks > 1`` = batch_chunk x DP: each chip micro-
+        batches its local shard's codec (shard_ot._chunked_stage_local).
+        ``fast_codec`` = the per-device Pallas relu1-scale codec (local
+        batch == 128; gated by _dp_fast_codec)."""
         from .parallel.shard_ot import make_sharded_pass
 
-        key = (iters, strengths, pca_flags, n_chunks)
+        key = (iters, strengths, pca_flags, n_chunks, fast_codec)
         if key not in self._dp_stages:
             self._dp_stages[key] = make_sharded_pass(
                 self.mesh, depths=tuple(self.layer_depths), iters=iters,
                 mode=self.cfg.hist_mode, strengths=strengths,
                 pca_flags=pca_flags,
                 pad_mode="wrap" if self.cfg.tileable else "reflect",
-                cov_prop=self.cfg.cov_propagation, n_chunks=n_chunks)
+                cov_prop=self.cfg.cov_propagation, n_chunks=n_chunks,
+                fast_codec=fast_codec)
         return self._dp_stages[key]
+
+    def _dp_fast_codec(self, global_batch: int, visit_sizes) -> bool:
+        """DP mirror of run()'s single-device fast_codec gate, on the
+        per-device LOCAL batch (the kernels' 128-lane contract)."""
+        cfg = self.cfg
+        if not (cfg.fast_codec and cfg.use_pallas) or cfg.tileable:
+            return False
+        n_loc = global_batch // self.mesh.devices.size
+        return fastcodec.eligible(
+            n_loc, visit_sizes, "reflect",
+            self.bank.enc_params[self.layer_depths[0]][0][0].dtype)
 
     def _dp_chunks(self, global_batch: int, has_content: bool) -> int:
         """batch_chunk x DP gate — the DP mirror of run()'s single-device
@@ -903,7 +918,15 @@ class Synthesizer:
         no host syncs. Gate-skip passes (do_resize False) encode the ORIGINAL
         styles, mirroring the reference (optex.py:47)."""
         cfg = self.cfg
-        styles = [jnp.asarray(s) for s in styles]  # device upload point
+        # device upload point — lazy (a fully-warm tokened run never gets
+        # here, r5 census) but ONCE per run: run() passes its own run-local
+        # list, so converting IN PLACE makes the second pass's prep reuse
+        # the first's device buffers. A per-call asarray re-uploaded the
+        # styles once per distinct pass size (5x ~4 MB through the tunnel
+        # at 512px = the +0.3 s cold regression this line un-does).
+        for i, s in enumerate(styles):
+            if not isinstance(s, jax.Array):
+                styles[i] = jnp.asarray(s)
         if do_resize:
             style_tens = tuple(
                 _resize_dev(s, schedule.get_size(size, cfg.style_scale,
@@ -1345,6 +1368,10 @@ class Synthesizer:
                     fast_codec=fast_codec)
                 color_done = fused_color is not None
         else:
+            # DP fast-codec gate (static for the whole run, like the fused
+            # branch's): every visited size must satisfy the kernel contract
+            dp_visit_sizes = [tuple(pastiche.shape[1:3])] + [
+                tuple(cs) for (_, _, _, dr, cs, _) in per_pass if dr]
             for (adj, strengths, iters, do_resize, cont_size,
                  pass_key) in per_pass:
                 if (((self.mesh is not None or self.grid_mesh is not None)
@@ -1365,10 +1392,14 @@ class Synthesizer:
                         stage = self._grid_pass(iters, strengths, pca_flags)
                         pastiche = self._grid_shard(pastiche)
                     elif self.mesh is not None:
+                        n_chunks = self._dp_chunks(pastiche.shape[0],
+                                                   content is not None)
                         stage = self._dp_pass(
-                            iters, strengths, pca_flags,
-                            self._dp_chunks(pastiche.shape[0],
-                                            content is not None))
+                            iters, strengths, pca_flags, n_chunks,
+                            fast_codec=(n_chunks == 1 and content is None
+                                        and self._dp_fast_codec(
+                                            pastiche.shape[0],
+                                            dp_visit_sizes)))
                         pastiche = self._dp_shard(pastiche)
                     else:
                         stage = self._sp_pass(iters, strengths, pca_flags)

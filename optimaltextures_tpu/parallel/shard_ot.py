@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import transport
+from ..models import fastcodec
 from ..models.vgg import decode, encode
 from ..ops import histmatch
 from ..ops.rotation import random_rotation, stage_rotations
@@ -365,7 +366,7 @@ def _chunked_stage_local(enc_p, dec_p, pastiche, style_mu, style_cov_raw,
 def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
                       pca_flags, axis: str = "data",
                       pad_mode: str = "reflect", cov_prop=None,
-                      n_chunks: int = 1):
+                      n_chunks: int = 1, fast_codec: bool = False):
     """ALL of a pass's layer stages in ONE shard_map program, mirroring the
     single-device ``core._pass_stages_impl``: per depth (deepest first)
     encode -> project -> sharded OT loop -> unproject -> decode, the decoded
@@ -388,6 +389,15 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
     the composed affine map stays exact across the GLOBAL batch. Moment
     modes with cov_propagation and no content only (the config gate
     enforces this).
+
+    ``fast_codec`` routes each device's LOCAL codec section through the
+    Pallas relu1-scale kernels (models/fastcodec.py), exactly mirroring
+    the single-device ``core._pass_stages_impl`` fast branch: the codec is
+    shard-local (no collectives touch it), so a DP run whose PER-DEVICE
+    batch is the kernels' 128-lane width runs the codec at the measured
+    single-chip Pallas rate on every chip while the OT statistics still
+    psum once over the mesh. Gated by the caller (core.run(): local batch
+    == 128, bf16, reflect, all visited sizes %32, n_chunks == 1).
     """
     shard = P(axis, None, None, None)
     rep = P()
@@ -396,16 +406,8 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
                    eigvecs, contents, key, k_masks):
         conv_dtype = enc_list[0][0][0].dtype
         pastiche = pastiche.astype(conv_dtype)
-        for i, d in enumerate(depths):
-            if n_chunks > 1:
-                pastiche = _chunked_stage_local(
-                    enc_list[i], dec_list[i], pastiche, mus[i], covs[i],
-                    eigvecs[i], jax.random.fold_in(key, i), k_masks[i],
-                    depth=d, n_iters=iters[i], mode=mode,
-                    pca_flag=pca_flags[i], n_chunks=n_chunks, axis=axis,
-                    pad_mode=pad_mode, conv_dtype=conv_dtype)
-                continue
-            feat = encode(enc_list[i], d, pastiche, pad_mode)
+
+        def ot_local(i, feat):
             feat = feat.astype(jnp.float32)
             if pca_flags[i]:
                 feat = jnp.matmul(feat, eigvecs[i], precision=HIGHEST)
@@ -416,6 +418,34 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
                 k_mask=k_masks[i], cov_prop=cov_prop)
             if pca_flags[i]:
                 feat = jnp.matmul(feat, eigvecs[i].T, precision=HIGHEST)
+            return feat
+
+        if fast_codec:
+            # shard-local Pallas codec: the image lives as post-renorm
+            # padded-RGB TCB between stages, as in the single-device fast
+            # branch (core._pass_stages_impl)
+            rgb8 = fastcodec.pixels_to_rgb8(enc_list[0][0], pastiche)
+            for i, d in enumerate(depths):
+                feat = fastcodec.encode_head(enc_list[i], d, rgb8,
+                                             conv_dtype)
+                feat = ot_local(i, feat)
+                renorm = (enc_list[i + 1][0]
+                          if i + 1 < len(depths) else None)
+                rgb8 = fastcodec.decode_tail(dec_list[i], d, feat, renorm,
+                                             conv_dtype)
+            return fastcodec.rgb8_to_pixels(rgb8, jnp.float32)
+
+        for i, d in enumerate(depths):
+            if n_chunks > 1:
+                pastiche = _chunked_stage_local(
+                    enc_list[i], dec_list[i], pastiche, mus[i], covs[i],
+                    eigvecs[i], jax.random.fold_in(key, i), k_masks[i],
+                    depth=d, n_iters=iters[i], mode=mode,
+                    pca_flag=pca_flags[i], n_chunks=n_chunks, axis=axis,
+                    pad_mode=pad_mode, conv_dtype=conv_dtype)
+                continue
+            feat = encode(enc_list[i], d, pastiche, pad_mode)
+            feat = ot_local(i, feat)
             pastiche = decode(dec_list[i], d, feat.astype(conv_dtype),
                               pad_mode)
         return pastiche.astype(jnp.float32)
@@ -423,5 +453,9 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
     fn = jax.shard_map(
         pass_local, mesh=mesh,
         in_specs=(rep, rep, shard, rep, rep, rep, rep, rep, rep, rep),
-        out_specs=shard)
+        out_specs=shard,
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation, so
+        # the varying-across-mesh check can't see through the fast-codec
+        # kernels; everything they touch is shard-local by construction
+        check_vma=not fast_codec)
     return jax.jit(fn, donate_argnums=(2,))

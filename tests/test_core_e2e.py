@@ -552,3 +552,23 @@ def test_low_mem_tokened_mixing_frees_spectra(monkeypatch):
     assert len(synth1._style_prep_cache) > 0
     for e in synth1._style_prep_cache.values():
         assert e[0] is None and e[4] is not None
+
+
+def test_style_upload_once_per_run():
+    """The prep dispatcher uploads host styles lazily but ONCE per run: it
+    converts run()'s run-local list IN PLACE, so the second distinct-size
+    pass reuses the first pass's device buffers. (A per-call asarray
+    re-uploaded every style once per pass size — the r5 +0.3 s cold-path
+    regression.)"""
+    import jax
+
+    cfg = OptexConfig(size=64, passes=1, iters=2, depth=1, seed=0,
+                      style=[STYLE])
+    synth = core.Synthesizer(cfg)
+    styles = [np.random.default_rng(0).uniform(
+        size=(1, 64, 64, 3)).astype(np.float32)]
+    synth._dispatch_style_prep(styles, 64, False)
+    first = styles[0]
+    assert isinstance(first, jax.Array)  # converted in place
+    synth._dispatch_style_prep(styles, 64, False)
+    assert styles[0] is first            # second dispatch: no re-upload

@@ -73,3 +73,35 @@ def test_head_tail_wiring_depth4():
     got_rgb8 = fastcodec.decode_tail(dec, depth, ref_feat, None, jnp.float32)
     got_px = fastcodec.rgb8_to_pixels(got_rgb8, jnp.float32)
     assert np.max(np.abs(np.asarray(ref_px - got_px))) < 2e-4
+
+def test_fast_codec_dp_matches_dp_xla():
+    """DP x fast_codec (r5): with local batch == 128 (here 256 over 2
+    virtual devices) the sharded pass routes each device's codec through
+    the Pallas kernels (shard_ot.make_sharded_pass fast branch). Same
+    rotation stream and psum'd joint statistics — output must equal the
+    DP XLA-codec run to accumulation-order tolerance. Depth 1 keeps the
+    interpret-mode kernel cost down (the deeper head/tail wiring is pinned
+    by the single-device tests above)."""
+    from optimaltextures_tpu.utils import imageio
+
+    def run(fast):
+        cfg = OptexConfig(size=32, passes=1, iters=4, seed=5, batch=256,
+                          depth=1, num_devices=2, style=["unused"],
+                          no_multires=True, fast_codec=fast)
+        bank = synthetic_bank(1, seed=1)
+        synth = core.Synthesizer(cfg, bank=bank)
+        key = jax.random.key(0)
+        noise = jax.random.uniform(key, (256, 32, 32, 3), jnp.float32)
+        style = [np.asarray(jax.random.uniform(
+            jax.random.fold_in(key, 1), (1, 32, 32, 3), jnp.float32))]
+        # the DP gate must actually see the fast path (not silently fall
+        # back): pin the decision itself as well as the output
+        assert synth._dp_fast_codec(256, [(32, 32)]) == fast or not fast
+        return np.asarray(synth.run(noise, style, key=jax.random.key(9)))
+
+    ref = run(False)
+    got = run(True)
+    assert ref.shape == got.shape
+    err = np.max(np.abs(ref - got))
+    assert err < 5e-4, err
+    assert err > 0.0  # a zero diff would mean the gate fell back to XLA
