@@ -397,7 +397,12 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
     batch is the kernels' 128-lane width runs the codec at the measured
     single-chip Pallas rate on every chip while the OT statistics still
     psum once over the mesh. Gated by the caller (core.run(): local batch
-    == 128, bf16, reflect, all visited sizes %32, n_chunks == 1).
+    (or, with n_chunks > 1, the local CHUNK) == 128, bf16, reflect, all
+    visited sizes %32). With ``n_chunks > 1`` the fast branch micro-batches
+    each device's shard through the kernels under ``lax.map`` — the
+    batch_chunk x DP math of :func:`_chunked_stage_local` (psum'd joint
+    moments -> composed stage map) with the Pallas heads/tails, chunks
+    living as post-renorm padded-RGB TCB across the pass's stages.
     """
     shard = P(axis, None, None, None)
     rep = P()
@@ -419,6 +424,60 @@ def make_sharded_pass(mesh: Mesh, *, depths, iters, mode: str, strengths,
             if pca_flags[i]:
                 feat = jnp.matmul(feat, eigvecs[i].T, precision=HIGHEST)
             return feat
+
+        if fast_codec and n_chunks > 1:
+            # batch_chunk x DP x fast_codec: each 128-image chunk of the
+            # local shard rides the Pallas kernels under lax.map; the
+            # joint moments psum over the mesh and the composed stage map
+            # applies per chunk (_chunked_stage_local's math with the
+            # fastcodec heads/tails)
+            b_loc = pastiche.shape[0]
+            chunks = pastiche.reshape(n_chunks, b_loc // n_chunks,
+                                      *pastiche.shape[1:])
+            rgb8 = jax.lax.map(
+                lambda img: fastcodec.pixels_to_rgb8(enc_list[0][0], img),
+                chunks)
+            for i, d in enumerate(depths):
+
+                def enc_fast(r, _i=i, _d=d):
+                    f = fastcodec.encode_head(
+                        enc_list[_i], _d, r, conv_dtype).astype(jnp.float32)
+                    if pca_flags[_i]:
+                        f = jnp.matmul(f, eigvecs[_i], precision=HIGHEST)
+                    return f
+
+                feats = jax.lax.map(enc_fast, rgb8)
+                nc, bc, h, w, c = feats.shape
+                x = feats.reshape(b_loc, h, w, c)
+                mu0 = jnp.mean(x, axis=(1, 2), keepdims=True)
+                xc = (x - mu0).reshape(-1, c)
+                gram = jax.lax.psum(
+                    jnp.matmul(xc.T, xc, precision=HIGHEST), axis)
+                cov0 = gram / (xc.shape[0] * jax.lax.psum(1, axis))
+                A, bias = transport.stage_affine_map(
+                    jax.random.fold_in(key, i), mu0, cov0,
+                    transport.StyleStats(mus[i], covs[i], None), iters[i],
+                    mode, k_mask=k_masks[i])
+                bias_chunks = bias.reshape(nc, bc, 1, 1, c)
+                renorm = (enc_list[i + 1][0]
+                          if i + 1 < len(depths) else None)
+
+                def dec_fast(args, _i=i, _d=d, _renorm=renorm, _A=A):
+                    f, bias_c = args
+                    out = jnp.matmul(f.reshape(-1, f.shape[-1]), _A,
+                                     precision=HIGHEST
+                                     ).reshape(f.shape) + bias_c
+                    if pca_flags[_i]:
+                        out = jnp.matmul(out, eigvecs[_i].T,
+                                         precision=HIGHEST)
+                    return fastcodec.decode_tail(
+                        dec_list[_i], _d, out.astype(conv_dtype), _renorm,
+                        conv_dtype)
+
+                rgb8 = jax.lax.map(dec_fast, (feats, bias_chunks))
+            px = jax.lax.map(
+                lambda r: fastcodec.rgb8_to_pixels(r, jnp.float32), rgb8)
+            return px.reshape(b_loc, *px.shape[2:])
 
         if fast_codec:
             # shard-local Pallas codec: the image lives as post-renorm

@@ -105,3 +105,58 @@ def test_fast_codec_dp_matches_dp_xla():
     err = np.max(np.abs(ref - got))
     assert err < 5e-4, err
     assert err > 0.0  # a zero diff would mean the gate fell back to XLA
+
+def test_fast_codec_chunked_matches_chunked_xla():
+    """batch_chunk x fast_codec (r5): with chunk size == 128 (batch 256,
+    batch_chunk 128) run() routes each lax.map chunk through the Pallas
+    kernels (_pass_stages_chunked_impl fast branch) — batch_chunk becomes
+    a throughput path. Same joint statistics over the full batch, same
+    rotation stream — output must equal the XLA chunked run to
+    accumulation-order tolerance."""
+    def run(fast):
+        cfg = OptexConfig(size=32, passes=1, iters=4, seed=5, batch=256,
+                          depth=1, batch_chunk=128, style=["unused"],
+                          no_multires=True, fast_codec=fast)
+        bank = synthetic_bank(1, seed=1)
+        synth = core.Synthesizer(cfg, bank=bank)
+        key = jax.random.key(0)
+        noise = jax.random.uniform(key, (256, 32, 32, 3), jnp.float32)
+        style = [np.asarray(jax.random.uniform(
+            jax.random.fold_in(key, 1), (1, 32, 32, 3), jnp.float32))]
+        return np.asarray(synth.run(noise, style, key=jax.random.key(9)))
+
+    ref = run(False)
+    got = run(True)
+    assert ref.shape == got.shape
+    err = np.max(np.abs(ref - got))
+    assert err < 5e-4, err
+    assert err > 0.0  # a zero diff would mean the gate fell back to XLA
+
+def test_fast_codec_dp_chunked_matches_dp_chunked_xla():
+    """DP x batch_chunk x fast_codec (r5): local shard 256 over 2 virtual
+    devices, batch_chunk 128 -> each device lax.maps two 128-lane chunks
+    through the Pallas kernels while the joint covariance psums over the
+    mesh (shard_ot.make_sharded_pass chunked fast branch). Must equal the
+    DP x batch_chunk XLA run to accumulation-order tolerance."""
+    def run(fast):
+        cfg = OptexConfig(size=32, passes=1, iters=2, seed=5, batch=512,
+                          depth=1, num_devices=2, batch_chunk=128,
+                          style=["unused"], no_multires=True,
+                          fast_codec=fast)
+        bank = synthetic_bank(1, seed=1)
+        synth = core.Synthesizer(cfg, bank=bank)
+        key = jax.random.key(0)
+        noise = jax.random.uniform(key, (512, 32, 32, 3), jnp.float32)
+        style = [np.asarray(jax.random.uniform(
+            jax.random.fold_in(key, 1), (1, 32, 32, 3), jnp.float32))]
+        assert synth._dp_chunks(512, False) == 2
+        assert synth._dp_fast_codec(512, [(32, 32)], n_chunks=2) == fast \
+            or not fast
+        return np.asarray(synth.run(noise, style, key=jax.random.key(9)))
+
+    ref = run(False)
+    got = run(True)
+    assert ref.shape == got.shape
+    err = np.max(np.abs(ref - got))
+    assert err < 5e-4, err
+    assert err > 0.0  # a zero diff would mean the gate fell back to XLA
